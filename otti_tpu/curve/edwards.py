@@ -1,0 +1,195 @@
+"""Batched edwards25519 group ops in extended coordinates (TPU-native).
+
+Replaces curve25519-dalek's point arithmetic (SURVEY.md §2.2 Spartan row,
+§7.1 curve/ row).  Design: *complete* (branch-free) unified add/double
+formulas for the a=-1 twisted Edwards curve so every lane of a batch takes
+the identical instruction stream — no exceptional cases, no data-dependent
+control flow, exactly what the VPU/XLA want (SURVEY.md §7.4 item 4).
+
+A point batch is a pytree dict {"x","y","z","t"} of limb arrays
+[..., N_LIMBS] over GF(2^255-19).  Formulas: add-2008-hwcd-3 (9M) and
+dbl-2008-hwcd (4M+4S), both complete on the prime-order ristretto subgroup.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..field import ops as F
+from ..field.fields import BASE
+from ..refimpl import numeric as ref
+
+# curve constants as canonical ints
+D_INT = ref.D
+D2_INT = (2 * ref.D) % ref.P
+
+
+def pt(x, y, z, t):
+    return {"x": x, "y": y, "z": z, "t": t}
+
+
+def identity(shape=()):
+    return pt(
+        F.zeros(shape), F.ones(BASE, shape), F.ones(BASE, shape), F.zeros(shape)
+    )
+
+
+def base_point(shape=()):
+    return from_affine_ints(ref.BASE_X, ref.BASE_Y, shape)
+
+
+def from_affine_ints(x: int, y: int, shape=()):
+    return pt(
+        F.const(BASE, x, shape),
+        F.const(BASE, y, shape),
+        F.ones(BASE, shape),
+        F.const(BASE, (x * y) % ref.P, shape),
+    )
+
+
+def add(p, q):
+    """Unified extended-coordinate addition (complete; 9 field muls)."""
+    a = F.mul(BASE, F.sub(BASE, p["y"], p["x"]), F.sub(BASE, q["y"], q["x"]))
+    b = F.mul(BASE, F.add(BASE, p["y"], p["x"]), F.add(BASE, q["y"], q["x"]))
+    c = F.mul(BASE, F.mul(BASE, p["t"], F.const(BASE, D2_INT, ())), q["t"])
+    d = F.mul(BASE, F.add(BASE, p["z"], p["z"]), q["z"])
+    e = F.sub(BASE, b, a)
+    f = F.sub(BASE, d, c)
+    g = F.add(BASE, d, c)
+    h = F.add(BASE, b, a)
+    return pt(
+        F.mul(BASE, e, f),
+        F.mul(BASE, g, h),
+        F.mul(BASE, f, g),
+        F.mul(BASE, e, h),
+    )
+
+
+def double(p):
+    """Extended-coordinate doubling (4M + 4S, a = -1)."""
+    a = F.square(BASE, p["x"])
+    b = F.square(BASE, p["y"])
+    c = F.mul_small(BASE, F.square(BASE, p["z"]), 2)
+    h = F.add(BASE, a, b)
+    e = F.sub(BASE, h, F.square(BASE, F.add(BASE, p["x"], p["y"])))
+    g = F.sub(BASE, a, b)
+    f = F.add(BASE, c, g)
+    return pt(
+        F.mul(BASE, e, f),
+        F.mul(BASE, g, h),
+        F.mul(BASE, f, g),
+        F.mul(BASE, e, h),
+    )
+
+
+def negate(p):
+    return pt(F.neg(BASE, p["x"]), p["y"], p["z"], F.neg(BASE, p["t"]))
+
+
+def select(mask, p, q):
+    """where(mask, p, q) lane-wise over point batches."""
+    return jax.tree.map(lambda a, b: F.select(mask, a, b), p, q)
+
+
+def cadd(mask, p, q):
+    """p + q where mask else p (constant control flow)."""
+    return select(mask, add(p, q), p)
+
+
+def eq(p, q):
+    """Projective equality: X1*Z2 == X2*Z1 and Y1*Z2 == Y2*Z1."""
+    ex = F.eq(BASE, F.mul(BASE, p["x"], q["z"]), F.mul(BASE, q["x"], p["z"]))
+    ey = F.eq(BASE, F.mul(BASE, p["y"], q["z"]), F.mul(BASE, q["y"], p["z"]))
+    return jnp.logical_and(ex, ey)
+
+
+def scalar_mul_bits(p, bits):
+    """p * k where ``bits`` is [..., n_bits] int32 LSB-first (branch-free).
+
+    Double-and-always-add ladder via lax.scan over the bit index: the batch
+    stays fully vectorized; per-lane bits select whether the add lands.
+    """
+    n_bits = bits.shape[-1]
+
+    def body(carry, i):
+        acc, cur = carry
+        bit = bits[..., i]
+        acc = cadd(bit == 1, acc, cur)
+        cur = double(cur)
+        return (acc, cur), None
+
+    batch = bits.shape[:-1]
+    (acc, _), _ = jax.lax.scan(
+        body, (identity(batch), p), jnp.arange(n_bits)
+    )
+    return acc
+
+
+def scalars_to_bits(scalars_limbs: jax.Array, n_bits: int = 256) -> jax.Array:
+    """Scalar-field limb vectors -> [..., n_bits] bit array (LSB-first)."""
+    from ..field.fields import LIMB_BITS, N_LIMBS
+
+    outs = []
+    for b in range(n_bits):
+        limb, off = divmod(b, LIMB_BITS)
+        if limb >= N_LIMBS:
+            outs.append(jnp.zeros(scalars_limbs.shape[:-1], jnp.int32))
+        else:
+            outs.append((scalars_limbs[..., limb] >> off) & 1)
+    return jnp.stack(outs, axis=-1)
+
+
+def scalar_mul(p, k_limbs):
+    """p * k with k given as canonical scalar-field limbs."""
+    return scalar_mul_bits(p, scalars_to_bits(k_limbs, 253))
+
+
+def sum_points(p, axis: int = 0):
+    """Tree-reduce a batch of points along ``axis`` with point addition.
+
+    log2(n) batched adds; n need not be a power of two (identity padding).
+    """
+    p = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), p)
+    n = p["x"].shape[0]
+    while n > 1:
+        half = (n + 1) // 2
+        lo = jax.tree.map(lambda a: a[:half], p)
+        hi = jax.tree.map(lambda a: a[half:n], p)
+        pad = half - (n - half)
+        if pad:
+            id_block = identity((pad,) + p["x"].shape[1:-1])
+            hi = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), hi, id_block
+            )
+        p = add(lo, hi)
+        n = half
+    return jax.tree.map(lambda a: a[0], p)
+
+
+# ---------------------------------------------------------------------------
+# Host codecs
+# ---------------------------------------------------------------------------
+
+def to_ref(p) -> ref.EdPoint:
+    """Single (unbatched) device point -> host reference point."""
+    return ref.EdPoint(
+        F.to_int(BASE, p["x"]),
+        F.to_int(BASE, p["y"]),
+        F.to_int(BASE, p["z"]),
+        F.to_int(BASE, p["t"]),
+    )
+
+
+def from_ref(q: ref.EdPoint, shape=()):
+    return pt(
+        F.const(BASE, q.X, shape),
+        F.const(BASE, q.Y, shape),
+        F.const(BASE, q.Z, shape),
+        F.const(BASE, q.T, shape),
+    )
+
+
+def stack(points):
+    """List of same-shape point pytrees -> batched point."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *points)

@@ -1,0 +1,311 @@
+"""Batched field arithmetic as JAX int32 ops (see fields.py for the design).
+
+Every function takes arrays shaped ``[..., N_LIMBS]`` (int32 limbs) and is
+pure/jit-safe with static shapes; batch dimensions are arbitrary.  These are
+the primitive kernels everything else (curve, MSM, sumcheck, commitments) is
+built from, so they are written to fuse well under XLA: short chains of
+elementwise int32 multiply/add/shift plus one tiny matmul for the modular
+fold.
+
+Replaces the reference's curve25519-dalek scalar/field arithmetic
+(SURVEY.md §2.2 "Spartan" row; §7.1 field/ row) with a TPU-native design.
+
+Range discipline
+----------------
+"semi" form: normalized limbs (each in [0, 2^12), top limb may carry a small
+residual) with value < 2^253 (SCALAR) / < 2^256 (BASE).  All API functions
+take and return semi form; ``canon`` produces the unique representative in
+[0, m).  Intermediate int32 magnitudes are proven < 2^31 in the comments.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields import (
+    CONV_LIMBS,
+    FOLD_LIMB,
+    LIMB_BITS,
+    LIMB_MASK,
+    N_LIMBS,
+    FieldSpec,
+    int_to_limbs,
+    limbs_to_int,
+    _pow_bits,
+)
+
+I32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# Limb-level primitives
+# ---------------------------------------------------------------------------
+
+def carry(x: jax.Array, n_out: int) -> jax.Array:
+    """Propagate (signed) carries: limbs 0..n_out-2 land in [0, 2^12).
+
+    The top output limb keeps the full residual (not masked), so the result
+    is value-preserving whenever the value fits in ``n_out`` limbs with a
+    signed top limb.  Works for negative intermediates (arithmetic shifts).
+    """
+    n_in = x.shape[-1]
+    c = jnp.zeros(x.shape[:-1], I32)
+    outs = []
+    for i in range(n_out - 1):
+        v = (x[..., i] + c) if i < n_in else c
+        limb = v & LIMB_MASK
+        c = (v - limb) >> LIMB_BITS
+        outs.append(limb)
+    v = (x[..., n_out - 1] + c) if (n_out - 1) < n_in else c
+    for j in range(n_out, n_in):
+        v = v + (x[..., j] << (LIMB_BITS * (j - (n_out - 1))))
+    outs.append(v)
+    return jnp.stack(outs, axis=-1)
+
+
+def conv(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Schoolbook limb convolution: [..., 22] x [..., 22] -> [..., 43].
+
+    Inputs must be normalized semi form so every coefficient stays
+    < 22 * 2^13 * 2^13 < 2^31 (top limbs are < 2^5 in semi form).
+    """
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, batch + (N_LIMBS,))
+    b = jnp.broadcast_to(b, batch + (N_LIMBS,))
+    out = jnp.zeros(batch + (CONV_LIMBS,), I32)
+    for i in range(N_LIMBS):
+        out = out.at[..., i : i + N_LIMBS].add(a[..., i : i + 1] * b)
+    return out
+
+
+def _fold_high(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Fold limbs >= FOLD_LIMB of a normalized 44-limb value -> 23 limbs.
+
+    Uses the precomputed matrix R[j] = limbs(2^(12*(21+j)) mod m); the high
+    coefficients are < 2^12 so the matmul accumulates to < 23*2^24 + 2^12.
+    """
+    n = x.shape[-1]
+    n_high = n - FOLD_LIMB
+    R = jnp.asarray(spec.fold_matrix[:n_high], I32)  # [n_high, 22]
+    low = x[..., :FOLD_LIMB]
+    high = x[..., FOLD_LIMB:]
+    folded = jnp.einsum(
+        "...h,hl->...l", high, R, preferred_element_type=I32
+    )
+    folded = folded.at[..., :FOLD_LIMB].add(low)
+    return carry(folded, FOLD_LIMB + 2)  # value < 2^269 -> 23 limbs
+
+
+def _fold_final(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Final modulus-specific fold of a normalized <=23-limb value -> semi.
+
+    SCALAR (ell = 2^252 + c):  V = (x mod 2^252) - c*(x >> 252) + ell
+      in (ell - 2^150, 2^252 + ell): positive, < 2^253.01.
+    BASE   (p = 2^255 - 19):   V = (x mod 2^255) + 19*(x >> 255) < 2^255 + 2^31.
+    """
+    n = x.shape[-1]
+    if spec.kind == "scalar":
+        h0 = x[..., FOLD_LIMB]
+        h1 = x[..., FOLD_LIMB + 1] if n > FOLD_LIMB + 1 else jnp.zeros_like(h0)
+        cl = jnp.asarray(spec.tail_limbs, I32)  # 11 limbs of c
+        m = jnp.asarray(spec.modulus_limbs, I32)
+        out = jnp.zeros(x.shape[:-1] + (N_LIMBS,), I32) + m
+        out = out.at[..., :FOLD_LIMB].add(x[..., :FOLD_LIMB])
+        out = out.at[..., 0:11].add(-h0[..., None] * cl)
+        out = out.at[..., 1:12].add(-h1[..., None] * cl)
+        return carry(out, N_LIMBS)
+    else:
+        h = x[..., FOLD_LIMB] >> 3
+        for j in range(FOLD_LIMB + 1, n):
+            h = h + (x[..., j] << (LIMB_BITS * (j - FOLD_LIMB) - 3))
+        out = jnp.zeros(x.shape[:-1] + (N_LIMBS,), I32)
+        out = out.at[..., :FOLD_LIMB].add(x[..., :FOLD_LIMB])
+        out = out.at[..., FOLD_LIMB].add(x[..., FOLD_LIMB] & 7)
+        out = out.at[..., 0].add(19 * h)
+        return carry(out, N_LIMBS)
+
+
+def reduce_wide(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Reduce a (possibly unnormalized) wide limb vector to semi form."""
+    n = max(x.shape[-1], FOLD_LIMB + 2)
+    x = carry(x, n + 1)
+    if x.shape[-1] > FOLD_LIMB + 2:
+        x = _fold_high(spec, x)
+    return _fold_final(spec, x)
+
+
+# ---------------------------------------------------------------------------
+# Field API (inputs/outputs in semi-reduced normalized form)
+# ---------------------------------------------------------------------------
+
+def zeros(shape=()) -> jax.Array:
+    return jnp.zeros(tuple(shape) + (N_LIMBS,), I32)
+
+
+def ones(spec: FieldSpec, shape=()) -> jax.Array:
+    one = np.zeros((N_LIMBS,), np.int32)
+    one[0] = 1
+    return jnp.broadcast_to(jnp.asarray(one), tuple(shape) + (N_LIMBS,))
+
+
+def const(spec: FieldSpec, value: int, shape=()) -> jax.Array:
+    limbs = jnp.asarray(int_to_limbs(value % spec.modulus), I32)
+    return jnp.broadcast_to(limbs, tuple(shape) + (N_LIMBS,))
+
+
+def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    return _fold_final(spec, carry(a + b, N_LIMBS + 1))
+
+
+def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    two_m = jnp.asarray(int_to_limbs(2 * spec.modulus, N_LIMBS), I32)
+    return _fold_final(spec, carry(a + two_m - b, N_LIMBS + 1))
+
+
+def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return sub(spec, zeros(a.shape[:-1]), a)
+
+
+def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    c = conv(a, b)
+    c = carry(c, CONV_LIMBS + 1)
+    c = _fold_high(spec, c)
+    return _fold_final(spec, c)
+
+
+def square(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mul(spec, a, a)
+
+
+def mul_small(spec: FieldSpec, a: jax.Array, k: int) -> jax.Array:
+    """Multiply by a small non-negative python int (k < 2^18)."""
+    assert 0 <= k < (1 << 18)
+    return reduce_wide(spec, a * jnp.int32(k))
+
+
+def pow_fixed(spec: FieldSpec, x: jax.Array, e: int) -> jax.Array:
+    """x^e for a fixed python-int exponent e >= 1, via an MSB-first scan."""
+    bits = _pow_bits(e)
+    if len(bits) == 1:
+        return x
+
+    bits_arr = jnp.asarray(np.asarray(bits[1:], np.int32))
+
+    def body(acc, bit):
+        acc = square(spec, acc)
+        acc_mul = mul(spec, acc, x)
+        acc = jnp.where((bit == 1)[..., None], acc_mul, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, x, bits_arr)
+    return acc
+
+
+def inv(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Fermat inverse x^(m-2); maps 0 -> 0."""
+    return pow_fixed(spec, x, spec.modulus - 2)
+
+
+def batch_inv(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Montgomery batch inversion over the leading axis (0 -> 0).
+
+    One Fermat exponentiation + 3n muls instead of n exponentiations.  The
+    scan is sequential in n — use for small n or host-latency-bound paths;
+    for large device batches plain ``inv`` (252-step scan, batch-parallel)
+    is faster.
+    """
+    zero_mask = is_zero(spec, x)
+    x_safe = jnp.where(zero_mask[..., None], jnp.broadcast_to(ones(spec), x.shape), x)
+
+    def fwd(acc, xi):
+        return mul(spec, acc, xi), acc  # carry running product, emit prefix
+
+    acc0 = ones(spec, x.shape[1:-1])
+    total, prefix = jax.lax.scan(fwd, acc0, x_safe)
+    total_inv = inv(spec, total)
+
+    def bwd(acc, inp):
+        xi, pi = inp
+        out = mul(spec, acc, pi)
+        return mul(spec, acc, xi), out
+
+    _, invs = jax.lax.scan(bwd, total_inv, (x_safe, prefix), reverse=True)
+    return jnp.where(zero_mask[..., None], jnp.zeros_like(invs), invs)
+
+
+def canon(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Canonical representative in [0, m): at most two conditional subtracts."""
+    m = jnp.asarray(spec.modulus_limbs, I32)
+    x = carry(x, N_LIMBS)
+    for _ in range(2):
+        d = carry(x - m, N_LIMBS)
+        nonneg = d[..., -1] >= 0  # top limb unmasked -> sign of whole diff
+        x = jnp.where(nonneg[..., None], d, x)
+    return x
+
+
+def eq(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(canon(spec, a) == canon(spec, b), axis=-1)
+
+
+def is_zero(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return jnp.all(canon(spec, a) == 0, axis=-1)
+
+
+def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """where(mask, a, b) with mask shaped [...] over limb vectors [..., 22]."""
+    return jnp.where(mask[..., None], a, b)
+
+
+def dot(spec: FieldSpec, a: jax.Array, b: jax.Array, axis: int = 0) -> jax.Array:
+    """Inner product sum_i a_i * b_i along ``axis`` (lazy-accumulated).
+
+    The per-limb products are accumulated *before* reduction: the 43 wide
+    coefficients of each product are < 2^29, so up to 4 terms can be summed
+    in int32; we therefore chunk the reduction.  This saves one modular
+    reduction per element versus reduce(mul) per term.
+    """
+    c = conv(a, b)  # [..., n, ..., 43]
+    c = jnp.moveaxis(c, axis, 0)
+    n = c.shape[0]
+    chunk = 4  # 4 * 22 * 2^26 < 2^30.5 stays in int32
+    partials = []
+    for s in range(0, n, chunk):
+        part = jnp.sum(c[s : s + chunk], axis=0)
+        partials.append(reduce_wide(spec, part))
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = add(spec, acc, p)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Host codecs (canonical little-endian 32-byte strings, dalek-compatible)
+# ---------------------------------------------------------------------------
+
+def to_int(spec: FieldSpec, x: jax.Array) -> int:
+    return limbs_to_int(np.asarray(jax.device_get(canon(spec, x)))) % spec.modulus
+
+
+def to_bytes(spec: FieldSpec, x: jax.Array) -> bytes:
+    return to_int(spec, x).to_bytes(32, "little")
+
+
+def from_int(spec: FieldSpec, v: int, shape=()) -> jax.Array:
+    return const(spec, v % spec.modulus, shape)
+
+
+def from_bytes(spec: FieldSpec, b: bytes) -> jax.Array:
+    return const(spec, int.from_bytes(b, "little") % spec.modulus)
+
+
+def pack_ints(spec: FieldSpec, x: jax.Array) -> np.ndarray:
+    """Device batch -> numpy object array of canonical python ints (host)."""
+    arr = np.asarray(jax.device_get(canon(spec, x))).astype(object)
+    n = arr.shape[-1]
+    acc = np.zeros(arr.shape[:-1], dtype=object)
+    for i in range(n - 1, -1, -1):
+        acc = (acc << LIMB_BITS) + arr[..., i]
+    return acc % spec.modulus
