@@ -259,34 +259,61 @@ def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(mask[..., None], a, b)
 
 
+def sum_reduce(spec: FieldSpec, x: jax.Array, axis: int = 0) -> jax.Array:
+    """Field sum of *normalized semi* elements along ``axis``, vectorized.
+
+    Normalized limbs are < 2^12, so up to 2^18 elements can be summed as
+    plain int32 before one deferred modular reduction; larger axes use a
+    two-level (still fully vectorized) reduction.
+    """
+    x = jnp.moveaxis(x, axis, 0)
+    chunk = 1 << 18
+    while x.shape[0] > 1:
+        n = x.shape[0]
+        if n <= chunk:
+            return reduce_wide(spec, jnp.sum(x, axis=0))
+        pad = (-n) % chunk
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+        x = reduce_wide(
+            spec, jnp.sum(x.reshape(-1, chunk, *x.shape[1:]), axis=1)
+        )
+    return reduce_wide(spec, x[0])
+
+
 def dot(spec: FieldSpec, a: jax.Array, b: jax.Array, axis: int = 0) -> jax.Array:
     """Inner product sum_i a_i * b_i along ``axis`` (lazy-accumulated).
 
-    The per-limb products are accumulated *before* reduction: the 43 wide
-    coefficients of each product are < 2^29, so up to 4 terms can be summed
-    in int32; we therefore chunk the reduction.  This saves one modular
-    reduction per element versus reduce(mul) per term.
+    The 43 wide coefficients of each limb-product are < 2^29, so 4 terms
+    can be pre-summed in int32 before the (batched) modular reduction; the
+    partial sums are then normalized and folded with ``sum_reduce``.  All
+    steps are vectorized — no per-element Python loops.
     """
-    c = conv(a, b)  # [..., n, ..., 43]
+    c = conv(a, b)
     c = jnp.moveaxis(c, axis, 0)
     n = c.shape[0]
-    chunk = 4  # 4 * 22 * 2^26 < 2^30.5 stays in int32
-    partials = []
-    for s in range(0, n, chunk):
-        part = jnp.sum(c[s : s + chunk], axis=0)
-        partials.append(reduce_wide(spec, part))
-    acc = partials[0]
-    for p in partials[1:]:
-        acc = add(spec, acc, p)
-    return acc
+    pad = (-n) % 4
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)], 0)
+    partial = reduce_wide(spec, jnp.sum(c.reshape(-1, 4, *c.shape[1:]), axis=1))
+    return sum_reduce(spec, partial, axis=0)
 
 
 # ---------------------------------------------------------------------------
 # Host codecs (canonical little-endian 32-byte strings, dalek-compatible)
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def canon_jit(spec: FieldSpec):
+    """Cached jitted canonicalizer (eager dispatch is slow in this env)."""
+    return jax.jit(lambda x: canon(spec, x))
+
+
 def to_int(spec: FieldSpec, x: jax.Array) -> int:
-    return limbs_to_int(np.asarray(jax.device_get(canon(spec, x)))) % spec.modulus
+    return limbs_to_int(np.asarray(jax.device_get(canon_jit(spec)(x)))) % spec.modulus
 
 
 def to_bytes(spec: FieldSpec, x: jax.Array) -> bytes:
@@ -303,7 +330,7 @@ def from_bytes(spec: FieldSpec, b: bytes) -> jax.Array:
 
 def pack_ints(spec: FieldSpec, x: jax.Array) -> np.ndarray:
     """Device batch -> numpy object array of canonical python ints (host)."""
-    arr = np.asarray(jax.device_get(canon(spec, x))).astype(object)
+    arr = np.asarray(jax.device_get(canon_jit(spec)(x))).astype(object)
     n = arr.shape[-1]
     acc = np.zeros(arr.shape[:-1], dtype=object)
     for i in range(n - 1, -1, -1):

@@ -1,0 +1,90 @@
+"""Pedersen vector commitments over ristretto255 (Hyrax substrate).
+
+Reconstructs the role of Spartan's ``commitments.rs``/``MultiCommitGens``
+(SURVEY.md §2.2, §3.5 step 2).  Generators are derived transparently on
+the host via SHAKE256 -> ristretto one-way map (RFC 9496 §4.3.4) from a
+domain-separation label — nothing-up-my-sleeve, documented, and cached —
+then shipped to the device once; all bulk commitment math is the batched
+Pippenger MSM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..curve import edwards as E
+from ..field import ops as F
+from ..field.fields import SCALAR, ints_to_limbs
+from ..msm import pippenger
+from ..refimpl import numeric as ref
+from ..transcript.keccak import shake256
+
+
+@functools.lru_cache(maxsize=None)
+def gen_points_host(n: int, label: bytes) -> tuple:
+    """n ristretto generators + blinding generator h (host EdPoints)."""
+    pts = tuple(
+        ref.EdPoint.from_uniform_bytes(
+            shake256(b"otti-tpu gens" + label + i.to_bytes(8, "little"), 64)
+        )
+        for i in range(n)
+    )
+    h = ref.EdPoint.from_uniform_bytes(
+        shake256(b"otti-tpu gens" + label + b"/blinding", 64)
+    )
+    return pts, h
+
+
+@functools.lru_cache(maxsize=None)
+def gen_points_device(n: int, label: bytes):
+    pts, h = gen_points_host(n, label)
+    return E.stack([E.from_ref(p) for p in pts]), E.from_ref(h)
+
+
+def commit_vector(scalars_limbs: jax.Array, blind_int: int, n: int, label: bytes):
+    """C = sum_i scalars[i] * G_i + blind * H  (device point)."""
+    G, H = gen_points_device(n, label)
+    k = scalars_limbs.shape[0]
+    assert k <= n
+    Gk = jax.tree.map(lambda a: a[:k], G)
+    acc = pippenger.msm(Gk, scalars_limbs)
+    if blind_int:
+        hb = E.scalar_mul(H, jnp.asarray(ints_to_limbs([blind_int]))[0])
+        acc = E.add(acc, hb)
+    return acc
+
+
+def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
+    """Hyrax row commitments: matrix [rows, cols, L] -> list of device points.
+
+    Rows share the generator vector, so this is a vmapped Pippenger.
+    """
+    rows, cols = matrix_limbs.shape[0], matrix_limbs.shape[1]
+    G, H = gen_points_device(cols, label)
+
+    def one(row_scalars):
+        return pippenger.msm(G, row_scalars)
+
+    pts = jax.jit(jax.vmap(one))(matrix_limbs)
+    if any(blinds):
+        hb = jax.jit(E.scalar_mul)(
+            E.stack([E.from_ref(gen_points_host(cols, label)[1])] * rows),
+            jnp.asarray(ints_to_limbs(blinds)),
+        )
+        pts = jax.jit(E.add)(pts, hb)
+    return pts
+
+
+def encode_point(p) -> bytes:
+    """Device point -> 32-byte ristretto encoding (host finish)."""
+    return E.to_ref(p).ristretto_encode()
+
+
+def encode_points(batch) -> list:
+    n = batch["x"].shape[0]
+    return [
+        encode_point(jax.tree.map(lambda a: a[i], batch)) for i in range(n)
+    ]

@@ -1,0 +1,64 @@
+"""MPS parser + LP oracle + LP certificate R1CS (host-side checks)."""
+
+import numpy as np
+import pytest
+
+from otti_tpu.codegen import lp_cert
+from otti_tpu.io import mps
+from otti_tpu.oracle import lp_oracle
+
+AFIRO = "/root/reference/datasets/LP/MPS-small/afiro.mps"
+SC50A = "/root/reference/datasets/LP/MPS-small/sc50a.mps"
+
+
+def test_parse_afiro():
+    p = mps.parse_mps(AFIRO)
+    assert p.name == "AFIRO"
+    assert p.n_vars == 32 and p.n_rows == 27
+    assert p.c.any() and p.A.any()
+    senses = set(p.row_senses)
+    assert senses <= {"E", "L", "G"}
+
+
+def test_lp_oracle_afiro():
+    p = mps.parse_mps(AFIRO)
+    x, y, opt = lp_oracle.solve(p)
+    # afiro's known optimum is about -464.753
+    assert abs(opt - (-464.7531)) < 1e-2
+    # primal feasibility within tolerance
+    for i in range(p.n_rows):
+        v = float(p.A[i] @ x)
+        if p.row_senses[i] == "E":
+            assert abs(v - p.rhs[i]) < 1e-6
+        elif p.row_senses[i] == "L":
+            assert v <= p.rhs[i] + 1e-6
+        else:
+            assert v >= p.rhs[i] - 1e-6
+    # zero duality gap with row duals (the certificate's core)
+    assert abs(float(p.c @ x) - float(p.rhs @ y)) < 1e-4
+
+
+@pytest.mark.parametrize("path", [AFIRO, SC50A])
+def test_lp_certificate_r1cs(path):
+    p = mps.parse_mps(path)
+    x, y, _ = lp_oracle.solve(p)
+    shape, vars_, inputs = lp_cert.build(p, x, y)
+    assert inputs == []
+    assert shape.num_cons > 0
+    assert shape.is_satisfied(vars_, inputs)
+
+
+def test_lp_certificate_rejects_nonoptimal():
+    p = mps.parse_mps(AFIRO)
+    x, y, _ = lp_oracle.solve(p)
+    # a feasible but suboptimal X' (scale towards interior) must fail the
+    # duality-gap check at build time
+    with pytest.raises(AssertionError):
+        lp_cert.build(p, x, y * 0.5)
+
+
+def test_lp_full_dual_mode():
+    p = mps.parse_mps(AFIRO)
+    x, y, _ = lp_oracle.solve(p)
+    shape, vars_, inputs = lp_cert.build(p, x, y, full_dual=True)
+    assert shape.is_satisfied(vars_, inputs)

@@ -35,9 +35,10 @@ def jdouble():
 
 def assert_points_equal(dev_batch, ref_pts):
     n = len(ref_pts)
-    xs = fields.limbs_to_ints(F.canon(BASE, dev_batch["x"]))
-    ys = fields.limbs_to_ints(F.canon(BASE, dev_batch["y"]))
-    zs = fields.limbs_to_ints(F.canon(BASE, dev_batch["z"]))
+    cj = F.canon_jit(BASE)
+    xs = fields.limbs_to_ints(cj(dev_batch["x"]))
+    ys = fields.limbs_to_ints(cj(dev_batch["y"]))
+    zs = fields.limbs_to_ints(cj(dev_batch["z"]))
     for i in range(n):
         ax, ay = ref_pts[i].affine()
         zinv = pow(zs[i], ref.P - 2, ref.P)
