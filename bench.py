@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Headline benchmark: LP optimality proof (afiro) end-to-end on TPU.
+
+Proves + verifies the Spartan NIZK for the afiro Netlib-LP optimality
+certificate (the reference's flagship small-suite workload, SURVEY.md
+§3.1) and reports steady-state prover throughput.
+
+Baseline envelope (BASELINE.md): the reference proves the 6-instance LP
+small suite in < 1 hour on x86 (~600 s/instance end-to-end including its
+compiler stages).  vs_baseline = baseline_seconds / our_seconds.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_E2E_S = 600.0  # reference small-suite per-instance envelope
+AFIRO = "/root/reference/datasets/LP/MPS-small/afiro.mps"
+
+
+def main():
+    from otti_tpu import runtime
+
+    if os.environ.get("OTTI_BENCH_CPU"):
+        runtime.force_cpu()
+    else:
+        runtime.use_tpu()
+
+    from otti_tpu.codegen import lp_cert
+    from otti_tpu.io import mps
+    from otti_tpu.oracle import lp_oracle
+    from otti_tpu.spartan import nizk
+
+    prob = mps.parse_mps(AFIRO)
+    x, y, _ = lp_oracle.solve(prob)
+    shape, vars_, inputs = lp_cert.build(prob, x, y)
+    dev = shape.to_device()
+
+    # steady-state lowering time (first pass pays one-time library imports)
+    t0 = time.time()
+    prob2 = mps.parse_mps(AFIRO)
+    x2, y2, _ = lp_oracle.solve(prob2)
+    lp_cert.build(prob2, x2, y2)
+    t_lower = time.time() - t0
+
+    # cold run (includes compilation), then steady-state measurement
+    t0 = time.time()
+    proof = nizk.prove(dev, vars_, inputs)
+    ok_cold = nizk.verify(dev, inputs, proof)
+    t_cold = time.time() - t0
+
+    t0 = time.time()
+    proof = nizk.prove(dev, vars_, inputs)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = nizk.verify(dev, inputs, proof)
+    t_verify = time.time() - t0
+
+    assert ok_cold and ok, "benchmark proof failed to verify"
+
+    e2e = t_lower + t_prove + t_verify
+    print(
+        json.dumps(
+            {
+                "metric": "lp_afiro_e2e_prove_verify_s",
+                "value": round(e2e, 3),
+                "unit": (
+                    f"s (lower={t_lower:.2f} prove={t_prove:.2f} "
+                    f"verify={t_verify:.2f} cold={t_cold:.2f} "
+                    f"cons={shape.num_cons} cons_per_s="
+                    f"{shape.num_cons / max(t_prove, 1e-9):.0f})"
+                ),
+                "vs_baseline": round(BASELINE_E2E_S / max(e2e, 1e-9), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""Orchestration CLI — the reference run.py's UX, TPU-native internals.
+
+    python -m otti_tpu.cli --lp  [--small|--full|--custom path]
+    python -m otti_tpu.cli --sdp [--small|--full|--custom path]
+    python -m otti_tpu.cli --sgd [--small|--full]
+
+Replaces /root/reference/run.py (SURVEY.md §1 L6): same workload x size
+matrix, same per-instance "Verification successful" + stage-runtime
+output (README.md:46-48), but the pipeline is in-process — parse ->
+solver oracle -> direct R1CS lowering -> Spartan NIZK prove -> verify —
+with durable stage artifacts in out/ (SURVEY.md §5.4 stage cache) instead
+of subprocess-and-files choreography.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+DEFAULT_DATASETS = os.environ.get(
+    "OTTI_DATASETS", "/root/reference/datasets"
+)
+
+
+def _stage(msg: str):
+    print(msg, flush=True)
+
+
+class Timer:
+    def __init__(self):
+        self.t = {}
+
+    def time(self, name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = time.time()
+            yield
+            self.t[name] = self.t.get(name, 0.0) + time.time() - t0
+
+        return cm()
+
+    def report(self):
+        return "  ".join(f"{k}={v:.2f}s" for k, v in self.t.items())
+
+
+def prove_and_verify(
+    shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False
+):
+    if zk:
+        from .spartan import zknizk as prover
+    else:
+        from .spartan import nizk as prover
+
+    with timer.time("to_device"):
+        dev = shape.to_device()
+    _stage(
+        f"Proving {name}{' (zk)' if zk else ''}: {shape.num_cons} constraints, "
+        f"{shape.num_vars} vars, {shape.num_inputs} inputs"
+    )
+    with timer.time("prove"):
+        proof = prover.prove(dev, vars_, inputs)
+    with timer.time("verify"):
+        ok = prover.verify(dev, inputs, proof)
+    if ok:
+        _stage(f"Verification successful for {name}  [{timer.report()}  proof={proof.size_bytes()}B]")
+    else:
+        _stage(f"VERIFICATION FAILED for {name}")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, name + ".meta.json"), "w") as f:
+            json.dump(
+                {
+                    "name": name,
+                    "num_cons": shape.num_cons,
+                    "num_vars": shape.num_vars,
+                    "num_inputs": shape.num_inputs,
+                    "verified": bool(ok),
+                    "proof_bytes": proof.size_bytes(),
+                    "timings": timer.t,
+                },
+                f,
+                indent=2,
+            )
+    return ok
+
+
+def run_lp(files, home_out, prove=True, zk=False):
+    from .codegen import lp_cert
+    from .io import mps
+    from .oracle import lp_oracle
+
+    ok_all = True
+    for path in files:
+        name = os.path.basename(path)
+        timer = Timer()
+        _stage(f"Compiling {name}")
+        with timer.time("parse"):
+            prob = mps.parse_mps(path)
+        with timer.time("oracle"):
+            x, y, opt = lp_oracle.solve(prob)
+        _stage(f"  oracle optimum {opt:.4f}")
+        with timer.time("lower"):
+            shape, vars_, inputs = lp_cert.build(prob, x, y)
+        if prove:
+            ok_all &= prove_and_verify(
+                shape, vars_, inputs, name, timer, os.path.join(home_out, "LP"), zk
+            )
+        else:
+            _stage(f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]")
+    return ok_all
+
+
+def run_sdp(files, home_out, prove=True, zk=False):
+    from .codegen import sdp_cert
+    from .io import sdpa
+    from .oracle import sdp_oracle
+
+    ok_all = True
+    for path in files:
+        name = os.path.basename(path)
+        if not name.endswith(".dat-s"):
+            _stage(f"ERROR: {name} is not a dat-s file")
+            continue
+        timer = Timer()
+        _stage(f"Making certificate for {name}")
+        with timer.time("parse"):
+            prob = sdpa.parse_dats(path)
+        with timer.time("oracle"):
+            X, y, S = sdp_oracle.solve(prob)
+        with timer.time("lower"):
+            Lx = sdp_oracle.cholesky_witness(X)
+            Ls = sdp_oracle.cholesky_witness(S)
+            shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls)
+        if prove:
+            ok_all &= prove_and_verify(
+                shape, vars_, inputs, name, timer, os.path.join(home_out, "SDP"), zk
+            )
+        else:
+            _stage(f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]")
+    return ok_all
+
+
+def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False):
+    from .codegen import sgd_cert
+    from .io import pmlb_local
+    from .oracle import sgd_oracle
+
+    cfg = pmlb_local.load_config(config_path)
+    ok_all = True
+    for dataset, params in cfg.items():
+        timer = Timer()
+        name = ("prob_" if prob_check else "") + dataset
+        _stage(f"Compile, solve, and prove {dataset}")
+        with timer.time("fetch"):
+            X, ypm = pmlb_local.fetch(
+                dataset, params["classes"][0], params["classes"][1], params["seed"]
+            )
+        with timer.time("oracle"):
+            w = sgd_oracle.solve(
+                X,
+                ypm,
+                seed=params["seed"],
+                eta0=params["eta0"],
+                maxiter=params["maxiter"],
+                tol=params["tol"],
+            )
+        with timer.time("lower"):
+            shape, vars_, inputs = sgd_cert.build(X, ypm, w, prob=prob_check)
+        if prove:
+            ok_all &= prove_and_verify(
+                shape, vars_, inputs, name, timer, os.path.join(home_out, "SGD"), zk
+            )
+        else:
+            _stage(f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]")
+    return ok_all
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="otti-tpu")
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument("--small", action="store_true")
+    group.add_argument("--full", action="store_true")
+    group.add_argument("--custom", type=str)
+    parser.add_argument("--lp", action="store_true")
+    parser.add_argument("--sdp", action="store_true")
+    parser.add_argument("--sgd", action="store_true")
+    parser.add_argument("--datasets", type=str, default=DEFAULT_DATASETS)
+    parser.add_argument("--out", type=str, default="out")
+    parser.add_argument(
+        "--no-prove", action="store_true", help="stop after R1CS lowering"
+    )
+    parser.add_argument(
+        "--zk",
+        action="store_true",
+        help="zero-knowledge mode (blinded commitments + sigma proofs)",
+    )
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = parser.parse_args(argv)
+
+    from . import runtime
+
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
+        runtime.force_cpu()
+    else:
+        runtime.use_tpu()
+
+    ds = args.datasets
+    os.makedirs(args.out, exist_ok=True)
+    prove = not args.no_prove
+
+    def listdir(sub):
+        d = os.path.join(ds, sub)
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if not f.startswith(".")
+        )
+
+    ok = True
+    if args.lp:
+        if args.custom:
+            files = [args.custom]
+            _stage("Running LP custom data")
+        elif args.full:
+            _stage("Running LP full Otti dataset")
+            files = listdir("LP/MPS-full")
+        else:
+            _stage("Running LP small Otti dataset")
+            files = listdir("LP/MPS-small")
+        ok = run_lp(files, args.out, prove, args.zk)
+    elif args.sdp:
+        if args.custom:
+            files = [args.custom]
+            _stage("Running SDP custom data")
+        elif args.full:
+            _stage("Running SDP full Otti dataset")
+            files = listdir("SDP/full")
+        else:
+            _stage("Running SDP small Otti dataset")
+            files = listdir("SDP/small")
+        ok = run_sdp(files, args.out, prove, args.zk)
+    elif args.sgd:
+        if args.full:
+            _stage("Running SGD full Otti dataset")
+            ok = run_sgd(
+                os.path.join(ds, "SGD/pmlb-full.json"), args.out, prove, zk=args.zk
+            )
+            _stage("Running SGD probabilistic Otti dataset")
+            ok &= run_sgd(
+                os.path.join(ds, "SGD/pmlb-prob.json"),
+                args.out,
+                prove,
+                prob_check=True,
+                zk=args.zk,
+            )
+        else:
+            _stage("Running SGD small Otti dataset")
+            ok = run_sgd(
+                os.path.join(ds, "SGD/pmlb-small.json"), args.out, prove, zk=args.zk
+            )
+    else:
+        parser.print_help()
+        return 0
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

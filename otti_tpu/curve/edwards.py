@@ -35,6 +35,14 @@ def identity(shape=()):
     )
 
 
+def match_vma(p, ref_p):
+    """Coerce constant point(s) ``p`` to the vma/sharding type of ``ref_p``
+    by adding a data-derived zero — needed when constants seed loop carries
+    inside shard_map-manual code (replicated vs varying type mismatch)."""
+    vz = jax.tree.leaves(ref_p)[0].reshape(-1)[0] & 0
+    return jax.tree.map(lambda a: a + vz, p)
+
+
 def base_point(shape=()):
     return from_affine_ints(ref.BASE_X, ref.BASE_Y, shape)
 
@@ -120,24 +128,27 @@ def scalar_mul_bits(p, bits):
         return (acc, cur), None
 
     batch = bits.shape[:-1]
-    (acc, _), _ = jax.lax.scan(
-        body, (identity(batch), p), jnp.arange(n_bits)
-    )
+    init = match_vma(identity(batch), p)
+    (acc, _), _ = jax.lax.scan(body, (init, p), jnp.arange(n_bits))
     return acc
 
 
 def scalars_to_bits(scalars_limbs: jax.Array, n_bits: int = 256) -> jax.Array:
-    """Scalar-field limb vectors -> [..., n_bits] bit array (LSB-first)."""
+    """Scalar-field limb vectors -> [..., n_bits] bit array (LSB-first).
+
+    Vectorized (single gather + shift) — no per-bit graph ops.
+    """
+    import numpy as np
+
     from ..field.fields import LIMB_BITS, N_LIMBS
 
-    outs = []
-    for b in range(n_bits):
-        limb, off = divmod(b, LIMB_BITS)
-        if limb >= N_LIMBS:
-            outs.append(jnp.zeros(scalars_limbs.shape[:-1], jnp.int32))
-        else:
-            outs.append((scalars_limbs[..., limb] >> off) & 1)
-    return jnp.stack(outs, axis=-1)
+    pos = np.arange(n_bits)
+    limb_idx = np.minimum(pos // LIMB_BITS, N_LIMBS - 1)
+    offs = pos % LIMB_BITS
+    valid = (pos // LIMB_BITS) < N_LIMBS
+    gathered = scalars_limbs[..., jnp.asarray(limb_idx)]
+    bits = (gathered >> jnp.asarray(offs)) & 1
+    return jnp.where(jnp.asarray(valid), bits, 0)
 
 
 def scalar_mul(p, k_limbs):
@@ -148,23 +159,35 @@ def scalar_mul(p, k_limbs):
 def sum_points(p, axis: int = 0):
     """Tree-reduce a batch of points along ``axis`` with point addition.
 
-    log2(n) batched adds; n need not be a power of two (identity padding).
+    Fixed-shape halving via fori_loop + roll: exactly ONE point-add
+    instantiation in the graph (inlined point ops are ~1k HLO ops each and
+    XLA compile time is the scarce resource here), log2(n) runtime steps.
     """
     p = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), p)
     n = p["x"].shape[0]
-    while n > 1:
-        half = (n + 1) // 2
-        lo = jax.tree.map(lambda a: a[:half], p)
-        hi = jax.tree.map(lambda a: a[half:n], p)
-        pad = half - (n - half)
-        if pad:
-            id_block = identity((pad,) + p["x"].shape[1:-1])
-            hi = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=0), hi, id_block
-            )
-        p = add(lo, hi)
-        n = half
-    return jax.tree.map(lambda a: a[0], p)
+    if n == 1:
+        return jax.tree.map(lambda a: a[0], p)
+    N = 1 << (n - 1).bit_length()
+    if N > n:
+        id_block = match_vma(identity((N - n,) + p["x"].shape[1:-1]), p)
+        p = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), p, id_block
+        )
+    steps = (N - 1).bit_length()
+    iota = jnp.arange(N)
+    ndim = p["x"].ndim
+
+    def body(j, cur):
+        half = N >> (j + 1)
+        partner = jax.tree.map(lambda a: jnp.roll(a, -half, axis=0), cur)
+        summed = add(cur, partner)
+        mask = (iota < half).reshape((N,) + (1,) * (ndim - 1))
+        return jax.tree.map(
+            lambda s, c: jnp.where(mask, s, c), summed, cur
+        )
+
+    out = jax.lax.fori_loop(0, steps, body, p)
+    return jax.tree.map(lambda a: a[0], out)
 
 
 # ---------------------------------------------------------------------------

@@ -49,20 +49,35 @@ def carry(x: jax.Array, n_out: int) -> jax.Array:
     The top output limb keeps the full residual (not masked), so the result
     is value-preserving whenever the value fits in ``n_out`` limbs with a
     signed top limb.  Works for negative intermediates (arithmetic shifts).
+
+    Implemented as a lax.scan over the limb axis so the HLO graph stays
+    O(1) regardless of limb count (unrolled chains made every field-op
+    callsite thousands of ops — compile-time poison in this environment).
     """
     n_in = x.shape[-1]
-    c = jnp.zeros(x.shape[:-1], I32)
-    outs = []
-    for i in range(n_out - 1):
-        v = (x[..., i] + c) if i < n_in else c
+    batch = x.shape[:-1]
+    if n_in < n_out:
+        x = jnp.concatenate(
+            [x, jnp.zeros(batch + (n_out - n_in,), I32)], axis=-1
+        )
+    body_limbs = jnp.moveaxis(x[..., : n_out - 1], -1, 0)
+
+    def body(c, xi):
+        v = xi + c
         limb = v & LIMB_MASK
-        c = (v - limb) >> LIMB_BITS
-        outs.append(limb)
-    v = (x[..., n_out - 1] + c) if (n_out - 1) < n_in else c
+        return (v - limb) >> LIMB_BITS, limb
+
+    # init derived from x so its vma/sharding type matches the carry under
+    # shard_map (a plain zeros() is 'replicated' and trips the scan typer)
+    c0 = x[..., 0] & 0
+    c, limbs = jax.lax.scan(body, c0, body_limbs)
+    top = x[..., n_out - 1] + c
     for j in range(n_out, n_in):
-        v = v + (x[..., j] << (LIMB_BITS * (j - (n_out - 1))))
-    outs.append(v)
-    return jnp.stack(outs, axis=-1)
+        top = top + (x[..., j] << (LIMB_BITS * (j - (n_out - 1))))
+    out = jnp.concatenate(
+        [jnp.moveaxis(limbs, 0, -1), top[..., None]], axis=-1
+    )
+    return out
 
 
 def conv(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -70,14 +85,21 @@ def conv(a: jax.Array, b: jax.Array) -> jax.Array:
 
     Inputs must be normalized semi form so every coefficient stays
     < 22 * 2^13 * 2^13 < 2^31 (top limbs are < 2^5 in semi form).
+    One fori_loop with dynamic-slice updates: O(1) HLO ops.
     """
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, batch + (N_LIMBS,))
     b = jnp.broadcast_to(b, batch + (N_LIMBS,))
-    out = jnp.zeros(batch + (CONV_LIMBS,), I32)
-    for i in range(N_LIMBS):
-        out = out.at[..., i : i + N_LIMBS].add(a[..., i : i + 1] * b)
-    return out
+    out = jnp.zeros(batch + (CONV_LIMBS,), I32) + ((a[..., :1] | b[..., :1]) & 0)
+
+    def body(i, acc):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)
+        cur = jax.lax.dynamic_slice_in_dim(acc, i, N_LIMBS, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, cur + ai * b, i, axis=-1
+        )
+
+    return jax.lax.fori_loop(0, N_LIMBS, body, out)
 
 
 def _fold_high(spec: FieldSpec, x: jax.Array) -> jax.Array:

@@ -59,48 +59,70 @@ def _digits(scalars: jax.Array, window: int) -> jax.Array:
 
 
 def _segment_scan_bucket_sums(points, digits_sorted, window: int):
-    """Sorted-by-digit points -> [2^w] bucket sums (identity for empties)."""
+    """Sorted-by-digit points -> [2^w] bucket sums (identity for empties).
+
+    Segmented inclusive scan via Hillis-Steele: log2(n) unrolled steps,
+    each ONE batched masked point-add over the whole array.  (The obvious
+    jax.lax.associative_scan alternative inlines ~2n combiner bodies into
+    the graph — hundreds of thousands of HLO ops — and makes XLA:CPU
+    compile for minutes; this formulation keeps the graph O(log n).)
+    """
     n = digits_sorted.shape[0]
     starts = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32)]
+        [
+            jnp.ones((1,), jnp.int32),
+            (digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32),
+        ]
     )
+    iota = jnp.arange(n)
+    ident_all = E.match_vma(E.identity((n,)), points)
+    steps = max(1, (n - 1).bit_length())
 
-    def combine(a, b):
-        flag = a["f"] | b["f"]
-        summed = E.add(a["p"], b["p"])
-        pt = E.select(b["f"] == 1, b["p"], summed)
-        return {"f": flag, "p": pt}
+    def hs_body(j, carry):
+        flags, vals = carry
+        d = jnp.int32(1) << j
+        predv = jax.tree.map(lambda a: jnp.roll(a, d, axis=0), vals)
+        predf = jnp.roll(flags, d)
+        valid = iota >= d
+        predv = E.select(valid, predv, ident_all)
+        predf = jnp.where(valid, predf, 1)
+        summed = E.add(vals, predv)
+        take_sum = flags == 0
+        vals = E.select(take_sum, summed, vals)
+        flags = flags | predf
+        return flags, vals
 
-    scanned = jax.lax.associative_scan(
-        combine, {"f": starts, "p": points}, axis=0
-    )
+    _, vals = jax.lax.fori_loop(0, steps, hs_body, (starts, points))
     ends = jnp.concatenate(
-        [(digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32), jnp.ones((1,), jnp.int32)]
+        [
+            (digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32),
+            jnp.ones((1,), jnp.int32),
+        ]
     )
     n_buckets = 1 << window
-    # scatter segment tails into their bucket slot (dump empties to slot n_buckets)
     idx = jnp.where(ends == 1, digits_sorted, n_buckets)
-    ident = E.identity((n_buckets + 1,))
-    buckets = jax.tree.map(
-        lambda dst, src: dst.at[idx].set(src), ident, scanned["p"]
-    )
+    ident = E.match_vma(E.identity((n_buckets + 1,)), points)
+    buckets = jax.tree.map(lambda dst, src: dst.at[idx].set(src), ident, vals)
     return jax.tree.map(lambda a: a[:n_buckets], buckets)
 
 
 def _aggregate_buckets(buckets, window: int):
-    """sum_b b * S_b via w masked tree-sums + Horner doubling."""
+    """sum_b b * S_b: Horner over the window bits, one masked tree-sum per
+    bit — all inside a fori_loop (single point-op instantiation)."""
     n_buckets = 1 << window
     bucket_ids = jnp.arange(n_buckets, dtype=jnp.int32)
-    parts = []
-    for t in range(window):
-        mask = ((bucket_ids >> t) & 1) == 1
-        sel = E.select(mask, buckets, E.identity((n_buckets,)))
-        parts.append(E.sum_points(sel))
-    acc = parts[-1]
-    for t in range(window - 2, -1, -1):
+    ident = E.match_vma(E.identity((n_buckets,)), buckets)
+
+    def body(i, acc):
+        t = window - 1 - i
         acc = E.double(acc)
-        acc = E.add(acc, parts[t])
-    return acc
+        mask = ((bucket_ids >> t) & 1) == 1
+        sel = E.select(mask, buckets, ident)
+        return E.add(acc, E.sum_points(sel))
+
+    return jax.lax.fori_loop(
+        0, window, body, E.match_vma(E.identity(()), buckets)
+    )
 
 
 def pick_window(n: int) -> int:
@@ -126,11 +148,12 @@ def msm(points, scalars: jax.Array, window: int | None = None):
         pts_sorted = jax.tree.map(lambda a: a[order], points)
         buckets = _segment_scan_bucket_sums(pts_sorted, dig_sorted, w)
         win_sum = _aggregate_buckets(buckets, w)
-        for _ in range(w):
-            total = E.double(total)
+        total = jax.lax.fori_loop(0, w, lambda _, t: E.double(t), total)
         return E.add(total, win_sum), None
 
-    total, _ = jax.lax.scan(one_window, E.identity(()), digits)
+    total, _ = jax.lax.scan(
+        one_window, E.match_vma(E.identity(()), points), digits
+    )
     return total
 
 
@@ -139,13 +162,47 @@ def msm_bitserial(points, scalars: jax.Array):
     but trivially correct; used for tiny N and as a test cross-check."""
     bits = E.scalars_to_bits(scalars, SCALAR_BITS)  # [N, 253]
 
+    ident_n = E.match_vma(E.identity((scalars.shape[0],)), points)
+
     def body(acc, t):
         acc = E.double(acc)
         mask = bits[:, SCALAR_BITS - 1 - t] == 1
-        sel = E.select(mask, points, E.identity((scalars.shape[0],)))
+        sel = E.select(mask, points, ident_n)
         return E.add(acc, E.sum_points(sel)), None
 
-    acc, _ = jax.lax.scan(body, E.identity(()), jnp.arange(SCALAR_BITS))
+    acc, _ = jax.lax.scan(
+        body, E.match_vma(E.identity(()), points), jnp.arange(SCALAR_BITS)
+    )
+    return acc
+
+
+def msm_shared_bases(points, scalar_matrix: jax.Array):
+    """Batched MSM with shared bases: [cols] points, [rows, cols, L]
+    scalars -> [rows] points (one MSM result per row).
+
+    This is the Hyrax row-commitment shape (SURVEY.md §3.5 step 2: "sqrt-N
+    row matrix of MSMs").  MSB-first bit-serial over a lax.scan — the
+    graph is one small round body (double + masked tree reduction), so it
+    compiles in seconds regardless of matrix size, and all rows process in
+    the same batched kernel.
+    """
+    rows, cols = scalar_matrix.shape[0], scalar_matrix.shape[1]
+    bits = E.scalars_to_bits(scalar_matrix, SCALAR_BITS)  # [rows, cols, 253]
+    g_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (rows,) + a.shape), points
+    )
+    ident_rc = E.match_vma(E.identity((rows, cols)), points)
+
+    def body(acc, t):
+        acc = E.double(acc)
+        mask = bits[:, :, SCALAR_BITS - 1 - t] == 1
+        sel = E.select(mask, g_b, ident_rc)
+        rowsum = E.sum_points(sel, axis=1)
+        return E.add(acc, rowsum), None
+
+    acc, _ = jax.lax.scan(
+        body, E.match_vma(E.identity((rows,)), points), jnp.arange(SCALAR_BITS)
+    )
     return acc
 
 

@@ -57,25 +57,33 @@ def commit_vector(scalars_limbs: jax.Array, blind_int: int, n: int, label: bytes
     return acc
 
 
-def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
-    """Hyrax row commitments: matrix [rows, cols, L] -> list of device points.
-
-    Rows share the generator vector, so this is a vmapped Pippenger.
-    """
-    rows, cols = matrix_limbs.shape[0], matrix_limbs.shape[1]
+@functools.lru_cache(maxsize=None)
+def _commit_rows_jit(rows: int, cols: int, label: bytes, with_blinds: bool):
     G, H = gen_points_device(cols, label)
 
-    def one(row_scalars):
-        return pippenger.msm(G, row_scalars)
+    if not with_blinds:
+        return jax.jit(lambda m: pippenger.msm_shared_bases(G, m))
 
-    pts = jax.jit(jax.vmap(one))(matrix_limbs)
+    h_b = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (rows,) + a.shape), H)
+
+    def impl(matrix, blind_limbs):
+        pts = pippenger.msm_shared_bases(G, matrix)
+        hb = E.scalar_mul(h_b, blind_limbs)
+        return E.add(pts, hb)
+
+    return jax.jit(impl)
+
+
+def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
+    """Hyrax row commitments: matrix [rows, cols, L] -> batched device
+    points.  Rows share the generator vector -> one shared-bases batched
+    MSM kernel (compiles once per matrix shape)."""
+    rows, cols = matrix_limbs.shape[0], matrix_limbs.shape[1]
     if any(blinds):
-        hb = jax.jit(E.scalar_mul)(
-            E.stack([E.from_ref(gen_points_host(cols, label)[1])] * rows),
-            jnp.asarray(ints_to_limbs(blinds)),
-        )
-        pts = jax.jit(E.add)(pts, hb)
-    return pts
+        fn = _commit_rows_jit(rows, cols, label, True)
+        return fn(matrix_limbs, jnp.asarray(ints_to_limbs(blinds)))
+    fn = _commit_rows_jit(rows, cols, label, False)
+    return fn(matrix_limbs)
 
 
 def encode_point(p) -> bytes:

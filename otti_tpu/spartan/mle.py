@@ -16,6 +16,8 @@ Hot ops (all jit-friendly, static shapes):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -23,12 +25,7 @@ from ..field import ops as F
 from ..field.fields import SCALAR
 
 
-def eq_table(r_limbs: jax.Array) -> jax.Array:
-    """[mu, N_LIMBS] challenges -> [2^mu, N_LIMBS] table of eq(r, x).
-
-    x index interpretation: bit (mu-1-j) of the row index is variable j,
-    i.e. row index = x_0 x_1 ... x_{mu-1} as a binary string (x_0 = MSB).
-    """
+def _eq_table_impl(r_limbs: jax.Array) -> jax.Array:
     mu = r_limbs.shape[0]
     tbl = F.ones(SCALAR, (1,))
     for j in range(mu):
@@ -38,6 +35,21 @@ def eq_table(r_limbs: jax.Array) -> jax.Array:
         # new index: old index * 2 + x_j  -> interleave lo/hi
         tbl = jnp.stack([lo, hi], axis=1).reshape(-1, lo.shape[-1])
     return tbl
+
+
+@functools.lru_cache(maxsize=None)
+def _eq_table_jit(mu: int):
+    return jax.jit(_eq_table_impl)
+
+
+def eq_table(r_limbs: jax.Array) -> jax.Array:
+    """[mu, N_LIMBS] challenges -> [2^mu, N_LIMBS] table of eq(r, x).
+
+    x index interpretation: bit (mu-1-j) of the row index is variable j,
+    i.e. row index = x_0 x_1 ... x_{mu-1} as a binary string (x_0 = MSB).
+    Jit-cached per mu (safe to call from host-driven loops).
+    """
+    return _eq_table_jit(r_limbs.shape[0])(r_limbs)
 
 
 def bind_top(poly: jax.Array, r: jax.Array) -> jax.Array:

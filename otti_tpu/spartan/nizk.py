@@ -99,6 +99,20 @@ def _hyrax_dims(num_vars_padded: int):
 GENS_LABEL = b"gens_pc"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _row_combine_jit(dims: tuple):
+    """u[c] = sum_r L[r] * W[r, c] — jitted per Hyrax matrix shape."""
+
+    def impl(eq_L, W):
+        prods = F.mul(SCALAR, eq_L[:, None, :], W)
+        return F.sum_reduce(SCALAR, prods, axis=0)
+
+    return jax.jit(impl)
+
+
 def prove(dev: r1cs.R1CSDevice, vars_ints: list, inputs_ints: list) -> NIZKProof:
     t = Transcript(PROTO)
     t.append_message(b"R1CS", dev.digest)
@@ -124,9 +138,7 @@ def prove(dev: r1cs.R1CSDevice, vars_ints: list, inputs_ints: list) -> NIZKProof
         nvp,
     )
     eq_tau = mle.eq_table(_dev_vec(tau))
-    az = dev.matvec(0, z)
-    bz = dev.matvec(1, z)
-    cz = dev.matvec(2, z)
+    az, bz, cz = dev.matvecs(z)
     p1, rx, (f_eq, vA, vB, vC), e1 = sumcheck.prove_cubic(
         0, eq_tau, az, bz, cz, t, b"sc1"
     )
@@ -150,8 +162,7 @@ def prove(dev: r1cs.R1CSDevice, vars_ints: list, inputs_ints: list) -> NIZKProof
     r_w = ry[1:]
     eq_L = mle.eq_table(_dev_vec(r_w[:mu_rows])) if mu_rows else F.ones(SCALAR, (1,))
     # u = L^T @ W_matrix  (row combination)
-    prods = F.mul(SCALAR, eq_L[:, None, :], W)
-    u = F.sum_reduce(SCALAR, prods, axis=0)
+    u = _row_combine_jit(W.shape[:2])(eq_L, W)
     u_ints = [int(v) for v in F.pack_ints(SCALAR, u)]
     claim_w = _mle_eval_host(vars_padded, r_w)
     for v in u_ints:
@@ -169,6 +180,13 @@ def prove(dev: r1cs.R1CSDevice, vars_ints: list, inputs_ints: list) -> NIZKProof
 
 
 def verify(dev: r1cs.R1CSDevice, inputs_ints: list, proof: NIZKProof) -> bool:
+    try:
+        return _verify_inner(dev, inputs_ints, proof)
+    except (ValueError, AssertionError):
+        return False
+
+
+def _verify_inner(dev: r1cs.R1CSDevice, inputs_ints: list, proof: NIZKProof) -> bool:
     t = Transcript(PROTO)
     t.append_message(b"R1CS", dev.digest)
     t.append_u64(b"num_inputs", len(inputs_ints))
@@ -204,27 +222,24 @@ def verify(dev: r1cs.R1CSDevice, inputs_ints: list, proof: NIZKProof) -> bool:
     mu_rows, mu_cols = _hyrax_dims(nvp)
 
     # (a) Hyrax opening: commit(u) must equal sum_i L_i * C_i
+    # (eq weights follow mle.eq_table's MSB-first convention)
+    from .zknizk import _eq_weights
+
     r_w = ry[1:]
-    L = [1]
-    for rj in r_w[:mu_rows]:
-        L = [x * ((1 - rj) % MOD) % MOD for x in L] + [x * rj % MOD for x in L]
-    rows_pts = [ref.EdPoint.ristretto_decode(enc) for enc in proof.comm_vars]
+    L = _eq_weights(r_w[:mu_rows])
+    from ..native import msm_host, ristretto_decode_host
+
+    rows_pts = [ristretto_decode_host(enc) for enc in proof.comm_vars]
     if any(p is None for p in rows_pts):
         return False
-    lhs = ref.EdPoint.identity()
-    for li, ci in zip(L, rows_pts):
-        lhs = lhs + ci * li
+    lhs = msm_host(rows_pts, L)
     G, _ = commitments.gen_points_host(1 << mu_cols, GENS_LABEL)
-    rhs = ref.EdPoint.identity()
-    for ui, gi in zip(proof.eval_u, G):
-        rhs = rhs + gi * ui
+    rhs = msm_host(list(G[: len(proof.eval_u)]), list(proof.eval_u))
     if not lhs.ristretto_eq(rhs):
         return False
 
     # (b) inner product <u, eq_R(r)> == claim_w
-    R = [1]
-    for rj in r_w[mu_rows:]:
-        R = [x * ((1 - rj) % MOD) % MOD for x in R] + [x * rj % MOD for x in R]
+    R = _eq_weights(r_w[mu_rows:])
     ip = sum(u * r for u, r in zip(proof.eval_u, R)) % MOD
     if ip != proof.claim_w:
         return False

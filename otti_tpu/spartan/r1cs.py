@@ -26,7 +26,6 @@ import numpy as np
 
 from ..field import ops as F
 from ..field.fields import SCALAR, ints_to_limbs
-from ..transcript.keccak import sha3_256
 from . import mle
 
 
@@ -83,7 +82,13 @@ class R1CSShape:
         return shape
 
     def digest(self) -> bytes:
-        """Canonical SHA3-256 digest binding the instance into transcripts."""
+        """Canonical SHA3-256 digest binding the instance into transcripts.
+
+        Uses hashlib's C implementation (the pure-python keccak in
+        transcript/ is for STROBE, where we control the sponge framing).
+        """
+        import hashlib
+
         h = bytearray()
         for tag, mat in ((b"A", self.A), (b"B", self.B), (b"C", self.C)):
             h += tag + len(mat).to_bytes(8, "little")
@@ -95,7 +100,7 @@ class R1CSShape:
             + self.num_vars.to_bytes(8, "little")
             + self.num_inputs.to_bytes(8, "little")
         )
-        return sha3_256(bytes(meta + h))
+        return hashlib.sha3_256(bytes(meta + h)).digest()
 
     def to_device(self) -> "R1CSDevice":
         nzpad = 2 * self.num_vars_padded
@@ -138,7 +143,12 @@ class R1CSShape:
 
 @dataclasses.dataclass
 class R1CSDevice:
-    """Device-resident padded R1CS (static-shape COO)."""
+    """Device-resident padded R1CS (static-shape COO).
+
+    The heavy operations are exposed as per-instance cached jitted
+    callables (eager dispatch is prohibitively slow in this environment
+    and the shapes are instance-static anyway).
+    """
 
     num_cons: int  # padded
     num_z: int  # 2 * num_vars_padded
@@ -147,33 +157,58 @@ class R1CSDevice:
     mats: tuple  # ((rows, cols, vals) for A, B, C)
     digest: bytes
 
-    def matvec(self, which: int, z: jax.Array) -> jax.Array:
-        """M @ z for M in {A,B,C}: [num_z, L] -> [num_cons, L]."""
+    def _matvec_impl(self, which: int, z: jax.Array) -> jax.Array:
         rows, cols, vals = self.mats[which]
         prods = F.mul(SCALAR, vals, z[cols])
         acc = jax.ops.segment_sum(prods, rows, num_segments=self.num_cons)
         return F.reduce_wide(SCALAR, acc)
 
+    def matvec(self, which: int, z: jax.Array) -> jax.Array:
+        """M @ z for M in {A,B,C}: [num_z, L] -> [num_cons, L]."""
+        return self.matvecs(z)[which]
+
+    def matvecs(self, z: jax.Array) -> tuple:
+        """(Az, Bz, Cz) in one jitted call (cached on the instance)."""
+        if not hasattr(self, "_matvecs_jit"):
+            self._matvecs_jit = jax.jit(
+                lambda z: tuple(self._matvec_impl(m, z) for m in range(3))
+            )
+        return self._matvecs_jit(z)
+
     def matvec_T_weighted(self, weights: tuple, e_rx: jax.Array) -> jax.Array:
         """Phase-2 table: M(y) = sum_m w_m * sum_{(r,c,v) in M_m} e_rx[r]*v
         scattered into column y.  weights: 3 limb vectors [L]."""
-        acc = None
-        for m in range(3):
-            rows, cols, vals = self.mats[m]
-            prods = F.mul(SCALAR, F.mul(SCALAR, vals, e_rx[rows]), weights[m][None, :])
-            part = jax.ops.segment_sum(prods, cols, num_segments=self.num_z)
-            part = F.reduce_wide(SCALAR, part)
-            acc = part if acc is None else F.add(SCALAR, acc, part)
-        return acc
+
+        def impl(weights, e_rx):
+            acc = None
+            for m in range(3):
+                rows, cols, vals = self.mats[m]
+                prods = F.mul(
+                    SCALAR, F.mul(SCALAR, vals, e_rx[rows]), weights[m][None, :]
+                )
+                part = jax.ops.segment_sum(prods, cols, num_segments=self.num_z)
+                part = F.reduce_wide(SCALAR, part)
+                acc = part if acc is None else F.add(SCALAR, acc, part)
+            return acc
+
+        if not hasattr(self, "_mtw_jit"):
+            self._mtw_jit = jax.jit(impl)
+        return self._mtw_jit(weights, e_rx)
 
     def eval_at(self, e_rx: jax.Array, e_ry: jax.Array) -> tuple:
         """( \tilde A(rx,ry), \tilde B, \tilde C ) given eq tables of rx, ry."""
-        outs = []
-        for m in range(3):
-            rows, cols, vals = self.mats[m]
-            prods = F.mul(SCALAR, F.mul(SCALAR, vals, e_rx[rows]), e_ry[cols])
-            outs.append(F.sum_reduce(SCALAR, prods, axis=0))
-        return tuple(outs)
+
+        def impl(e_rx, e_ry):
+            outs = []
+            for m in range(3):
+                rows, cols, vals = self.mats[m]
+                prods = F.mul(SCALAR, F.mul(SCALAR, vals, e_rx[rows]), e_ry[cols])
+                outs.append(F.sum_reduce(SCALAR, prods, axis=0))
+            return tuple(outs)
+
+        if not hasattr(self, "_eval_jit"):
+            self._eval_jit = jax.jit(impl)
+        return self._eval_jit(e_rx, e_ry)
 
 
 def assemble_z(

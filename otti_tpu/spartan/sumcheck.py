@@ -54,11 +54,17 @@ def lagrange_eval(evals: list, r: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Device kernels (cached per size)
+# Device kernels — fixed-shape, mask-active design: the tables keep their
+# full padded size across all rounds and the active prefix length shrinks
+# (a traced scalar), so each phase needs exactly ONE compiled kernel per
+# instance size instead of one per round size.  ~2x redundant element work
+# in exchange for O(log n) fewer XLA compilations — a large win both for
+# XLA:CPU tests and for the remote-compile TPU path.
 # ---------------------------------------------------------------------------
 
 def _ext(tbl: jax.Array, t: int) -> jax.Array:
-    """Evaluate each (lo, hi) pair at X = t: lo + t*(hi - lo)."""
+    """Evaluate each (lo, hi) pair at X = t: lo + t*(hi - lo) (static split;
+    used by the single-shot paths, e.g. __graft_entry__)."""
     n2 = tbl.shape[0] // 2
     lo, hi = tbl[:n2], tbl[n2:]
     if t == 0:
@@ -67,14 +73,32 @@ def _ext(tbl: jax.Array, t: int) -> jax.Array:
     return F.add(SCALAR, lo, F.mul_small(SCALAR, d, t))
 
 
+def _ext_masked(tbl: jax.Array, t: int, active_half: jax.Array) -> jax.Array:
+    """lo/hi pair eval at X=t where lo = tbl[:ah], hi = tbl[ah:2ah] with a
+    *traced* active length; lanes >= ah carry garbage (masked by caller)."""
+    half = tbl.shape[0] // 2
+    lo = tbl[:half]
+    hi = jax.lax.dynamic_slice_in_dim(tbl, active_half, half, axis=0)
+    if t == 0:
+        return lo
+    d = F.sub(SCALAR, hi, lo)
+    return F.add(SCALAR, lo, F.mul_small(SCALAR, d, t))
+
+
 @functools.lru_cache(maxsize=None)
 def _round_cubic_kernel(n: int):
+    half = n // 2
+
     @jax.jit
-    def k(eq, pa, pb, pc):
+    def k(eq, pa, pb, pc, active_half):
+        mask = jnp.arange(half) < active_half
         outs = []
         for t in (0, 2, 3):
-            eqt, at, bt, ct = (_ext(x, t) for x in (eq, pa, pb, pc))
+            eqt, at, bt, ct = (
+                _ext_masked(x, t, active_half) for x in (eq, pa, pb, pc)
+            )
             w = F.sub(SCALAR, F.mul(SCALAR, at, bt), ct)
+            w = F.select(mask, w, jnp.zeros_like(w))
             outs.append(F.canon(SCALAR, F.dot(SCALAR, eqt, w)))
         return tuple(outs)
 
@@ -83,11 +107,16 @@ def _round_cubic_kernel(n: int):
 
 @functools.lru_cache(maxsize=None)
 def _round_quad_kernel(n: int):
+    half = n // 2
+
     @jax.jit
-    def k(pm, pz):
+    def k(pm, pz, active_half):
+        mask = jnp.arange(half) < active_half
         outs = []
         for t in (0, 2):
-            mt, zt = _ext(pm, t), _ext(pz, t)
+            mt = _ext_masked(pm, t, active_half)
+            zt = _ext_masked(pz, t, active_half)
+            zt = F.select(mask, zt, jnp.zeros_like(zt))
             outs.append(F.canon(SCALAR, F.dot(SCALAR, mt, zt)))
         return tuple(outs)
 
@@ -96,15 +125,18 @@ def _round_quad_kernel(n: int):
 
 @functools.lru_cache(maxsize=None)
 def _bind_kernel(n: int, k_tables: int):
+    half = n // 2
+
     @jax.jit
-    def k(r, *tables):
+    def k(r, active_half, *tables):
         out = []
         for tbl in tables:
-            n2 = tbl.shape[0] // 2
-            lo, hi = tbl[:n2], tbl[n2:]
-            out.append(
-                F.add(SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo)))
+            lo = tbl[:half]
+            hi = jax.lax.dynamic_slice_in_dim(tbl, active_half, half, axis=0)
+            bound = F.add(
+                SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo))
             )
+            out.append(jax.lax.dynamic_update_slice_in_dim(tbl, bound, 0, axis=0))
         return tuple(out)
 
     return k
@@ -128,11 +160,15 @@ def prove_cubic(claim: int, eq, pa, pb, pc, transcript: Transcript, label: bytes
     the wire but returned for tests); final_vals: (eq, Az, Bz, Cz) at r.
     """
     n = eq.shape[0]
+    kernel = _round_cubic_kernel(n)
+    binder = _bind_kernel(n, 4)
     rounds = []
     rs = []
     e = claim % MOD
-    while n > 1:
-        e0, e2, e3 = (_limb_to_int(v) for v in _round_cubic_kernel(n)(eq, pa, pb, pc))
+    active = n
+    while active > 1:
+        ah = jnp.int32(active // 2)
+        e0, e2, e3 = (_limb_to_int(v) for v in kernel(eq, pa, pb, pc, ah))
         e1 = (e - e0) % MOD
         transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
         transcript.append_scalar(label + b"/e2", _scalar_bytes(e2))
@@ -140,9 +176,9 @@ def prove_cubic(claim: int, eq, pa, pb, pc, transcript: Transcript, label: bytes
         r = transcript.challenge_scalar(label + b"/r")
         rs.append(r)
         rounds.append([e0, e1, e2, e3])
-        eq, pa, pb, pc = _bind_kernel(n, 4)(_to_dev(r), eq, pa, pb, pc)
+        eq, pa, pb, pc = binder(_to_dev(r), ah, eq, pa, pb, pc)
         e = lagrange_eval([e0, e1, e2, e3], r)
-        n //= 2
+        active //= 2
     finals = tuple(_limb_to_int(t[0]) for t in (eq, pa, pb, pc))
     return rounds, rs, finals, e
 
@@ -150,19 +186,23 @@ def prove_cubic(claim: int, eq, pa, pb, pc, transcript: Transcript, label: bytes
 def prove_quad(claim: int, pm, pz, transcript: Transcript, label: bytes):
     """Phase-2 sumcheck.  Returns (round_evals, r_points, final_vals, e)."""
     n = pm.shape[0]
+    kernel = _round_quad_kernel(n)
+    binder = _bind_kernel(n, 2)
     rounds, rs = [], []
     e = claim % MOD
-    while n > 1:
-        e0, e2 = (_limb_to_int(v) for v in _round_quad_kernel(n)(pm, pz))
+    active = n
+    while active > 1:
+        ah = jnp.int32(active // 2)
+        e0, e2 = (_limb_to_int(v) for v in kernel(pm, pz, ah))
         e1 = (e - e0) % MOD
         transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
         transcript.append_scalar(label + b"/e2", _scalar_bytes(e2))
         r = transcript.challenge_scalar(label + b"/r")
         rs.append(r)
         rounds.append([e0, e1, e2])
-        pm, pz = _bind_kernel(n, 2)(_to_dev(r), pm, pz)
+        pm, pz = binder(_to_dev(r), ah, pm, pz)
         e = lagrange_eval([e0, e1, e2], r)
-        n //= 2
+        active //= 2
     finals = (_limb_to_int(pm[0]), _limb_to_int(pz[0]))
     return rounds, rs, finals, e
 

@@ -1,0 +1,292 @@
+"""Zero-knowledge Spartan NIZK (full parity with the reference's NIZK mode).
+
+Assembles the ZK sumchecks (zksumcheck.py), the sigma toolbox (sigma.py),
+and blinded Hyrax row commitments into the complete argument of SURVEY.md
+§3.5: nothing about the witness is revealed beyond R1CS satisfiability —
+claims, matrix-evaluation values, and the opening combination all travel
+as Pedersen commitments with Schnorr-style consistency proofs.
+
+Protocol (labels are the canonical wire format of this framework):
+  1. commit witness rows with blinds (device MSMs)  -> comm_vars
+  2. tau <- FS;  ZK sumcheck #1 on eq*(Az*Bz - Cz), claim 0
+  3. commit vA, vB, vC;  ProductProof for vA*vB;
+     EqualityProof: e1_final == eq(tau, rx) * (vAB - vC)
+  4. rA, rB, rC <- FS;  committed claim2 = rA*CA + rB*CB + rC*CC
+     ZK sumcheck #2 on M * Z
+  5. commit w_eval = W(ry[1:]);  DotProductProof: <u, eq_R> = w_eval
+     against C_u = sum_i L_i * comm_vars_i  (Hyrax opening, blinds fold)
+  6. EqualityProof: e2_final == M(ry) * ((1-ry0)*w_eval + ry0*v_io)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+
+from ..curve import edwards as E
+from ..field import ops as F
+from ..field.fields import SCALAR
+from ..msm import pippenger
+from ..refimpl import numeric as ref
+from ..transcript.merlin import Transcript
+from . import commitments, mle, r1cs, sigma, zksumcheck
+from .nizk import (
+    GENS_LABEL,
+    _dev_scalar,
+    _dev_vec,
+    _eq_point,
+    _hyrax_dims,
+    _mle_eval_host,
+    _row_combine_jit,
+    _sb,
+)
+from .pedersen_host import BlindSource, Gens, commit, decode
+
+L = ref.L
+PROTO = b"otti-tpu Spartan zkNIZK v1"
+
+
+@dataclasses.dataclass
+class ZKNIZKProof:
+    comm_vars: list  # blinded row commitments (bytes32)
+    sc1: zksumcheck.ZKSumcheckProof
+    comm_abc: tuple  # (CA, CB, CC) bytes32
+    comm_ab: bytes  # commitment to vA*vB
+    proof_ab: sigma.ProductProof
+    eq1: sigma.EqualityProof
+    sc2: zksumcheck.ZKSumcheckProof
+    comm_w: bytes  # commitment to W(ry[1:])
+    dot_u: sigma.DotProductProof
+    eq2: sigma.EqualityProof
+
+    def size_bytes(self) -> int:
+        pts = (
+            len(self.comm_vars)
+            + len(self.sc1.comm_polys) * 2
+            + len(self.sc2.comm_polys) * 2
+            + 3
+            + 1
+            + 1
+            + 3  # product proof points
+            + 2  # equality alphas
+            + 2  # dot_u points
+        )
+        scalars = (
+            sum(len(d.z) + 2 for d in self.sc1.dot_proofs)
+            + sum(len(d.z) + 2 for d in self.sc2.dot_proofs)
+            + 5
+            + 1
+            + len(self.dot_u.z)
+            + 2
+            + 1
+        )
+        return 32 * (pts + scalars)
+
+
+def _max_gens(dev: r1cs.R1CSDevice) -> int:
+    _, mu_cols = _hyrax_dims(dev.num_vars)
+    return max(1 << mu_cols, 4)
+
+
+def prove(
+    dev: r1cs.R1CSDevice,
+    vars_ints: list,
+    inputs_ints: list,
+    seed: bytes | None = None,
+) -> ZKNIZKProof:
+    rng = BlindSource(seed or os.urandom(32))
+    gens = Gens(_max_gens(dev), GENS_LABEL)
+
+    t = Transcript(PROTO)
+    t.append_message(b"R1CS", dev.digest)
+    t.append_u64(b"num_inputs", len(inputs_ints))
+    for x in inputs_ints:
+        t.append_scalar(b"input", _sb(x))
+
+    nvp = dev.num_vars
+    mu_rows, mu_cols = _hyrax_dims(nvp)
+    vars_padded = list(vars_ints) + [0] * (nvp - len(vars_ints))
+    W = _dev_vec(vars_padded).reshape(1 << mu_rows, 1 << mu_cols, -1)
+    row_blinds = rng.scalars(1 << mu_rows)
+    comm_rows = commitments.commit_rows(W, row_blinds, GENS_LABEL)
+    comm_enc = commitments.encode_points(comm_rows)
+    for enc in comm_enc:
+        t.append_point(b"poly_commitment", enc)
+
+    # ---- phase 1 (ZK) -----------------------------------------------------
+    mu_x = (dev.num_cons - 1).bit_length()
+    tau = t.challenge_vector(b"challenge_tau", mu_x)
+    z = r1cs.assemble_z(
+        _dev_vec(vars_padded), _dev_vec(inputs_ints) if inputs_ints else None, nvp
+    )
+    eq_tau = mle.eq_table(_dev_vec(tau))
+    az, bz, cz = dev.matvecs(z)
+    sc1, rx, (f_eq, vA, vB, vC), e1, be1 = zksumcheck.prove_zk(
+        3, 0, 0, (eq_tau, az, bz, cz), t, b"sc1", gens, rng
+    )
+
+    # commitments to the matrix evaluations + product + final relation
+    bA, bB, bC = rng.scalars(3)
+    CA, CB, CC = (commit(v, b, gens) for v, b in ((vA, bA), (vB, bB), (vC, bC)))
+    for lbl, C in ((b"CA", CA), (b"CB", CB), (b"CC", CC)):
+        t.append_point(lbl, C.ristretto_encode())
+    b_ab = rng.scalar()
+    proof_ab, _, _, C_ab = sigma.ProductProof.prove(
+        t, gens, vA, bA, vB, bB, b_ab, rng
+    )
+    # e1 == eq(tau, rx) * (vA*vB - vC)
+    eq_val = _eq_point(tau, rx)
+    # commitment to RHS: eq * (C_ab - CC); blind eq*(b_ab - bC)
+    eq1_proof, _, _ = sigma.EqualityProof.prove(
+        t, gens, e1, be1, eq_val * (b_ab - bC) % L, rng
+    )
+
+    # ---- phase 2 (ZK) -----------------------------------------------------
+    r_a = t.challenge_scalar(b"challenge_Az")
+    r_b = t.challenge_scalar(b"challenge_Bz")
+    r_c = t.challenge_scalar(b"challenge_Cz")
+    claim2 = (r_a * vA + r_b * vB + r_c * vC) % L
+    bclaim2 = (r_a * bA + r_b * bB + r_c * bC) % L
+    e_rx = mle.eq_table(_dev_vec(rx))
+    m_table = dev.matvec_T_weighted(
+        (_dev_scalar(r_a), _dev_scalar(r_b), _dev_scalar(r_c)), e_rx
+    )
+    sc2, ry, (f_m, f_z), e2, be2 = zksumcheck.prove_zk(
+        2, claim2, bclaim2, (m_table, z), t, b"sc2", gens, rng
+    )
+
+    # ---- Hyrax opening (ZK) ----------------------------------------------
+    r_w = ry[1:]
+    eq_L = mle.eq_table(_dev_vec(r_w[:mu_rows])) if mu_rows else F.ones(SCALAR, (1,))
+    u = _row_combine_jit(W.shape[:2])(eq_L, W)
+    u_ints = [int(v) for v in F.pack_ints(SCALAR, u)]
+    L_weights = _eq_weights(r_w[:mu_rows])
+    b_u = sum(li * bi for li, bi in zip(L_weights, row_blinds)) % L
+    w_eval = _mle_eval_host(vars_padded, r_w)
+    b_w = rng.scalar()
+    R_weights = _eq_weights(r_w[mu_rows:])
+    dot_u, _, C_w = sigma.DotProductProof.prove(
+        t, gens, u_ints, b_u, R_weights, w_eval, b_w, rng
+    )
+
+    # ---- final relation ---------------------------------------------------
+    io = [1] + list(inputs_ints) + [0] * (nvp - 1 - len(inputs_ints))
+    v_io = _mle_eval_host(io, r_w)
+    ry0 = ry[0]
+    e_rx2 = e_rx
+    e_ry = mle.eq_table(_dev_vec(ry))
+    ea, eb, ec = (int(F.pack_ints(SCALAR, v)) for v in dev.eval_at(e_rx2, e_ry))
+    v_m = (r_a * ea + r_b * eb + r_c * ec) % L
+    # e2 == v_m * ((1-ry0) * w_eval + ry0 * v_io)
+    coeff_w = v_m * (1 - ry0) % L
+    eq2_proof, _, _ = sigma.EqualityProof.prove(
+        t, gens, e2, be2, coeff_w * b_w % L, rng
+    )
+
+    return ZKNIZKProof(
+        comm_vars=comm_enc,
+        sc1=sc1,
+        comm_abc=(
+            CA.ristretto_encode(),
+            CB.ristretto_encode(),
+            CC.ristretto_encode(),
+        ),
+        comm_ab=C_ab.ristretto_encode(),
+        proof_ab=proof_ab,
+        eq1=eq1_proof,
+        sc2=sc2,
+        comm_w=C_w.ristretto_encode(),
+        dot_u=dot_u,
+        eq2=eq2_proof,
+    )
+
+
+def _eq_weights(r: list) -> list:
+    """eq table of a challenge list as host ints, matching mle.eq_table's
+    convention (r[0] = MSB of the index: each new variable interleaves as
+    the LSB)."""
+    out = [1]
+    for rj in r:
+        nxt = []
+        for x in out:
+            nxt.append(x * ((1 - rj) % L) % L)
+            nxt.append(x * rj % L)
+        out = nxt
+    return out
+
+
+def verify(dev: r1cs.R1CSDevice, inputs_ints: list, proof: ZKNIZKProof) -> bool:
+    try:
+        return _verify_inner(dev, inputs_ints, proof)
+    except (ValueError, AssertionError):
+        return False
+
+
+def _verify_inner(dev, inputs_ints, proof) -> bool:
+    gens = Gens(_max_gens(dev), GENS_LABEL)
+    t = Transcript(PROTO)
+    t.append_message(b"R1CS", dev.digest)
+    t.append_u64(b"num_inputs", len(inputs_ints))
+    for x in inputs_ints:
+        t.append_scalar(b"input", _sb(x))
+    for enc in proof.comm_vars:
+        t.append_point(b"poly_commitment", enc)
+
+    nvp = dev.num_vars
+    mu_rows, mu_cols = _hyrax_dims(nvp)
+    if len(proof.comm_vars) != (1 << mu_rows):
+        return False
+
+    mu_x = (dev.num_cons - 1).bit_length()
+    tau = t.challenge_vector(b"challenge_tau", mu_x)
+
+    # phase 1
+    C_zero = commit(0, 0, gens)
+    rx, C_e1 = zksumcheck.verify_zk(3, proof.sc1, C_zero, mu_x, t, b"sc1", gens)
+
+    CA, CB, CC = (decode(b) for b in proof.comm_abc)
+    for lbl, enc in zip((b"CA", b"CB", b"CC"), proof.comm_abc):
+        t.append_point(lbl, enc)
+    C_ab = decode(proof.comm_ab)
+    if not proof.proof_ab.verify(t, gens, CA, CB, C_ab):
+        return False
+    eq_val = _eq_point(tau, rx)
+    C_rhs = (C_ab + (-CC)) * eq_val
+    if not proof.eq1.verify(t, gens, C_e1, C_rhs):
+        return False
+
+    r_a = t.challenge_scalar(b"challenge_Az")
+    r_b = t.challenge_scalar(b"challenge_Bz")
+    r_c = t.challenge_scalar(b"challenge_Cz")
+    C_claim2 = CA * r_a + CB * r_b + CC * r_c
+    mu_y = (dev.num_z - 1).bit_length()
+    ry, C_e2 = zksumcheck.verify_zk(2, proof.sc2, C_claim2, mu_y, t, b"sc2", gens)
+
+    # Hyrax opening
+    from ..native import msm_host
+
+    r_w = ry[1:]
+    L_weights = _eq_weights(r_w[:mu_rows])
+    rows_pts = [decode(enc) for enc in proof.comm_vars]
+    C_u = msm_host(rows_pts, L_weights)
+    C_w = decode(proof.comm_w)
+    R_weights = _eq_weights(r_w[mu_rows:])
+    if not proof.dot_u.verify(t, gens, R_weights, C_u, C_w):
+        return False
+
+    # final relation
+    io = [1] + list(inputs_ints) + [0] * (nvp - 1 - len(inputs_ints))
+    v_io = _mle_eval_host(io, r_w)
+    ry0 = ry[0]
+    e_rx = mle.eq_table(_dev_vec(rx))
+    e_ry = mle.eq_table(_dev_vec(ry))
+    ea, eb, ec = (int(F.pack_ints(SCALAR, v)) for v in dev.eval_at(e_rx, e_ry))
+    v_m = (r_a * ea + r_b * eb + r_c * ec) % L
+    coeff_w = v_m * (1 - ry0) % L
+    const_term = v_m * ry0 % L * v_io % L
+    C_rhs2 = C_w * coeff_w + gens.G[0] * const_term
+    if not proof.eq2.verify(t, gens, C_e2, C_rhs2):
+        return False
+    return True

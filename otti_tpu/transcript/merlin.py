@@ -103,13 +103,25 @@ def _le32(n: int) -> bytes:
     return n.to_bytes(4, "little")
 
 
+def _strobe_factory(label: bytes):
+    """Native STROBE when the host library is built; Python otherwise."""
+    try:
+        from .. import native
+
+        if native.HAVE_NATIVE:
+            return native.NativeStrobe(label)
+    except Exception:  # pragma: no cover
+        pass
+    return Strobe128(label)
+
+
 class Transcript:
     """Merlin transcript with the Spartan-flavoured append/challenge API."""
 
     MERLIN_LABEL = b"Merlin v1.0"
 
     def __init__(self, label: bytes):
-        self.strobe = Strobe128(self.MERLIN_LABEL)
+        self.strobe = _strobe_factory(self.MERLIN_LABEL)
         self.append_message(b"dom-sep", label)
 
     def append_message(self, label: bytes, message: bytes):

@@ -28,6 +28,10 @@ try:
 except Exception:  # pragma: no cover - older jax uses the XLA flag instead
     pass
 
+from otti_tpu.runtime import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

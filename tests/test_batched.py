@@ -1,0 +1,34 @@
+"""Batched proving: proofs must match single-instance prover outputs."""
+
+from otti_tpu.spartan import batched, nizk
+from tests.test_nizk import random_instance
+
+
+def test_batched_matches_single():
+    insts = [random_instance(10, 8, 2, seed=s) for s in (1, 2, 3)]
+    devs = [sh.to_device() for sh, _, _ in insts]
+    vars_list = [v for _, v, _ in insts]
+    inputs_list = [i for _, _, i in insts]
+
+    proofs = batched.prove_many(devs, vars_list, inputs_list)
+    assert len(proofs) == 3
+    for dev, inputs, proof in zip(devs, inputs_list, proofs):
+        assert nizk.verify(dev, inputs, proof)
+
+    # byte-identical to the single-instance prover (same transcript schedule)
+    single = nizk.prove(devs[1], vars_list[1], inputs_list[1])
+    assert single.phase1_polys == proofs[1].phase1_polys
+    assert single.claims_abc == proofs[1].claims_abc
+    assert single.eval_u == proofs[1].eval_u
+    assert single.comm_vars == proofs[1].comm_vars
+
+
+def test_batched_cross_instance_isolation():
+    """A proof from the batch must not verify for a different instance."""
+    insts = [random_instance(10, 8, 2, seed=s) for s in (7, 8)]
+    devs = [sh.to_device() for sh, _, _ in insts]
+    proofs = batched.prove_many(
+        devs, [v for _, v, _ in insts], [i for _, _, i in insts]
+    )
+    assert not nizk.verify(devs[0], insts[1][2], proofs[1])
+    assert not nizk.verify(devs[1], insts[1][2], proofs[0])

@@ -57,3 +57,20 @@ def test_msm_bitserial_agrees():
     pts, ks, want = setup_case(6, 42)
     got = jax.jit(pippenger.msm_bitserial)(pts, ks)
     check_equal(got, want)
+
+
+def test_msm_shared_bases():
+    import jax.numpy as jnp
+
+    r = random.Random(9)
+    rows, cols = 3, 4
+    pts_ref = [ref.EdPoint.base() * r.randrange(1, ref.L) for _ in range(cols)]
+    ks = [[r.randrange(ref.L) for _ in range(cols)] for _ in range(rows)]
+    pts = E.stack([E.from_ref(p) for p in pts_ref])
+    mat = jnp.stack([jnp.asarray(fields.ints_to_limbs(row)) for row in ks])
+    got = jax.jit(pippenger.msm_shared_bases)(pts, mat)
+    for i in range(rows):
+        want = ref.EdPoint.identity()
+        for k, p in zip(ks[i], pts_ref):
+            want = want + p * k
+        check_equal(jax.tree.map(lambda a: a[i], got), want)
