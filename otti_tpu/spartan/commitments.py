@@ -86,13 +86,31 @@ def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
     return fn(matrix_limbs)
 
 
-def encode_point(p) -> bytes:
-    """Device point -> 32-byte ristretto encoding (host finish)."""
-    return E.to_ref(p).ristretto_encode()
-
-
 def encode_points(batch) -> list:
-    n = batch["x"].shape[0]
-    return [
-        encode_point(jax.tree.map(lambda a: a[i], batch)) for i in range(n)
-    ]
+    """Batched device points -> 32-byte ristretto encodings.
+
+    ONE canon kernel + ONE device->host transfer for the whole batch (per-
+    point fetches cost ~100ms each through the TPU tunnel), then the
+    native host library finishes the encodings.
+    """
+    import numpy as np
+
+    from ..field import fields
+    from ..field.fields import BASE as BASE_SPEC
+    from ..native import ristretto_encode_host
+
+    stacked = jnp.stack(
+        [batch["x"], batch["y"], batch["z"], batch["t"]], axis=-2
+    )  # [..., 4, L]
+    arr = np.asarray(jax.device_get(F.canon_jit(BASE_SPEC)(stacked)))
+    arr = arr.reshape(-1, 4, arr.shape[-1])
+    out = []
+    for i in range(arr.shape[0]):
+        X, Y, Z, T = (fields.limbs_to_int(arr[i, j]) for j in range(4))
+        out.append(ristretto_encode_host(ref.EdPoint(X, Y, Z, T)))
+    return out
+
+
+def encode_point(p) -> bytes:
+    """Single device point -> 32-byte ristretto encoding."""
+    return encode_points(jax.tree.map(lambda a: a[None], p))[0]

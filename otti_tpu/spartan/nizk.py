@@ -113,8 +113,13 @@ def _row_combine_jit(dims: tuple):
     return jax.jit(impl)
 
 
-def prove(dev: r1cs.R1CSDevice, vars_ints: list, inputs_ints: list) -> NIZKProof:
-    t = Transcript(PROTO)
+def prove(
+    dev: r1cs.R1CSDevice,
+    vars_ints: list,
+    inputs_ints: list,
+    proto: bytes = PROTO,
+) -> NIZKProof:
+    t = Transcript(proto)
     t.append_message(b"R1CS", dev.digest)
     t.append_u64(b"num_inputs", len(inputs_ints))
     for x in inputs_ints:

@@ -85,42 +85,215 @@ def _ext_masked(tbl: jax.Array, t: int, active_half: jax.Array) -> jax.Array:
     return F.add(SCALAR, lo, F.mul_small(SCALAR, d, t))
 
 
+def _cubic_evals(eq, pa, pb, pc, active_half):
+    half = eq.shape[0] // 2
+    mask = jnp.arange(half) < active_half
+    outs = []
+    for t in (0, 2, 3):
+        eqt, at, bt, ct = (
+            _ext_masked(x, t, active_half) for x in (eq, pa, pb, pc)
+        )
+        w = F.sub(SCALAR, F.mul(SCALAR, at, bt), ct)
+        w = F.select(mask, w, jnp.zeros_like(w))
+        outs.append(F.canon(SCALAR, F.dot(SCALAR, eqt, w)))
+    return jnp.stack(outs)  # [3, L] — one transfer
+
+
+def _quad_evals(pm, pz, active_half):
+    half = pm.shape[0] // 2
+    mask = jnp.arange(half) < active_half
+    outs = []
+    for t in (0, 2):
+        mt = _ext_masked(pm, t, active_half)
+        zt = _ext_masked(pz, t, active_half)
+        zt = F.select(mask, zt, jnp.zeros_like(zt))
+        outs.append(F.canon(SCALAR, F.dot(SCALAR, mt, zt)))
+    return jnp.stack(outs)  # [2, L]
+
+
+def _bind_tables(r, active_half, tables):
+    out = []
+    for tbl in tables:
+        half = tbl.shape[0] // 2
+        lo = tbl[:half]
+        hi = jax.lax.dynamic_slice_in_dim(tbl, active_half, half, axis=0)
+        bound = F.add(SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo)))
+        out.append(jax.lax.dynamic_update_slice_in_dim(tbl, bound, 0, axis=0))
+    return tuple(out)
+
+
 @functools.lru_cache(maxsize=None)
 def _round_cubic_kernel(n: int):
-    half = n // 2
-
-    @jax.jit
-    def k(eq, pa, pb, pc, active_half):
-        mask = jnp.arange(half) < active_half
-        outs = []
-        for t in (0, 2, 3):
-            eqt, at, bt, ct = (
-                _ext_masked(x, t, active_half) for x in (eq, pa, pb, pc)
-            )
-            w = F.sub(SCALAR, F.mul(SCALAR, at, bt), ct)
-            w = F.select(mask, w, jnp.zeros_like(w))
-            outs.append(F.canon(SCALAR, F.dot(SCALAR, eqt, w)))
-        return tuple(outs)
-
-    return k
+    return jax.jit(_cubic_evals)
 
 
 @functools.lru_cache(maxsize=None)
 def _round_quad_kernel(n: int):
+    return jax.jit(_quad_evals)
+
+
+@functools.lru_cache(maxsize=None)
+def _step_cubic_kernel(n: int):
+    """Fused bind(prev challenge) + next-round evals: ONE device call (and
+    so ~one host<->device round trip) per sumcheck round — the transcript
+    is the serialization point (SURVEY.md §3.5), so latency per round is
+    what matters on the tunneled TPU."""
+
+    @jax.jit
+    def k(r_prev, prev_active_half, eq, pa, pb, pc):
+        eq, pa, pb, pc = _bind_tables(r_prev, prev_active_half, (eq, pa, pb, pc))
+        evals = _cubic_evals(eq, pa, pb, pc, prev_active_half // 2)
+        return evals, (eq, pa, pb, pc)
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _step_quad_kernel(n: int):
+    @jax.jit
+    def k(r_prev, prev_active_half, pm, pz):
+        pm, pz = _bind_tables(r_prev, prev_active_half, (pm, pz))
+        evals = _quad_evals(pm, pz, prev_active_half // 2)
+        return evals, (pm, pz)
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _bind_kernel(n: int, k_tables: int):
+    @jax.jit
+    def k(r, active_half, *tables):
+        return _bind_tables(r, active_half, tables)
+
+    return k
+
+
+# ---------------------------------------------------------------------------
+# Generic custom-combination sumcheck (used by the SPARK layer): the round
+# combination function is looked up in a registry by key so kernels stay
+# lru-cacheable per (n, key, degree).
+# ---------------------------------------------------------------------------
+
+_COMB_REGISTRY: dict = {}
+
+
+def register_comb(key: str, fn):
+    """fn(consts: tuple[limb vectors], exts: tuple[[half, L] arrays]) ->
+    [half, L] combined per-point values (degree <= ``degree`` per var)."""
+    _COMB_REGISTRY[key] = fn
+
+
+def _eval_points(degree: int):
+    return (0,) + tuple(range(2, degree + 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _custom_eval_kernel(n: int, key: str, degree: int, k_tables: int, k_consts: int):
+    comb = _COMB_REGISTRY[key]
     half = n // 2
 
     @jax.jit
-    def k(pm, pz, active_half):
+    def k(active_half, consts, *tables):
         mask = jnp.arange(half) < active_half
         outs = []
-        for t in (0, 2):
-            mt = _ext_masked(pm, t, active_half)
-            zt = _ext_masked(pz, t, active_half)
-            zt = F.select(mask, zt, jnp.zeros_like(zt))
-            outs.append(F.canon(SCALAR, F.dot(SCALAR, mt, zt)))
-        return tuple(outs)
+        for t in _eval_points(degree):
+            exts = tuple(_ext_masked(tbl, t, active_half) for tbl in tables)
+            vals = comb(consts, exts)
+            vals = F.select(mask, vals, jnp.zeros_like(vals))
+            outs.append(F.canon(SCALAR, F.sum_reduce(SCALAR, vals, axis=0)))
+        return jnp.stack(outs)
 
     return k
+
+
+@functools.lru_cache(maxsize=None)
+def _custom_step_kernel(n: int, key: str, degree: int, k_tables: int, k_consts: int):
+    comb = _COMB_REGISTRY[key]
+    half = n // 2
+
+    @jax.jit
+    def k(r_prev, prev_active_half, consts, *tables):
+        tables = _bind_tables(r_prev, prev_active_half, tables)
+        ah = prev_active_half // 2
+        mask = jnp.arange(half) < ah
+        outs = []
+        for t in _eval_points(degree):
+            exts = tuple(_ext_masked(tbl, t, ah) for tbl in tables)
+            vals = comb(consts, exts)
+            vals = F.select(mask, vals, jnp.zeros_like(vals))
+            outs.append(F.canon(SCALAR, F.sum_reduce(SCALAR, vals, axis=0)))
+        return jnp.stack(outs), tables
+
+    return k
+
+
+def prove_custom(
+    claim: int,
+    tables: tuple,
+    consts: tuple,
+    key: str,
+    degree: int,
+    transcript: Transcript,
+    label: bytes,
+):
+    """Host-driven sumcheck with a registered round combination.
+
+    Wire format matches the standard rounds (evals at 0..degree with p(1)
+    implied); returns (rounds, rs, final table values, final claim).
+    """
+    n = tables[0].shape[0]
+    kt, kc = len(tables), len(consts)
+    evalk = _custom_eval_kernel(n, key, degree, kt, kc)
+    stepk = _custom_step_kernel(n, key, degree, kt, kc)
+    bindk = _bind_kernel(n, kt)
+    e = claim % MOD
+    rounds, rs = [], []
+    active = n
+    evals_dev = evalk(jnp.int32(active // 2), consts, *tables)
+    while active > 1:
+        ev = _limbs_rows_to_ints(evals_dev)
+        e0 = ev[0]
+        e1 = (e - e0) % MOD
+        evals = [e0, e1] + ev[1:]
+        transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
+        for j, v in enumerate(ev[1:]):
+            transcript.append_scalar(
+                label + b"/e%d" % (j + 2), _scalar_bytes(v)
+            )
+        r = transcript.challenge_scalar(label + b"/r")
+        rounds.append(evals)
+        rs.append(r)
+        e = lagrange_eval(evals, r)
+        if active > 2:
+            evals_dev, tables = stepk(
+                _to_dev(r), jnp.int32(active // 2), consts, *tables
+            )
+        else:
+            tables = bindk(_to_dev(r), jnp.int32(active // 2), *tables)
+        active //= 2
+    finals = tuple(_limb_to_int(t[0]) for t in tables)
+    return rounds, rs, finals, e
+
+
+def verify_custom(
+    claim: int, round_polys: list, degree: int, transcript: Transcript, label: bytes
+):
+    """Replay; returns (final_claim, rs) or raises ValueError."""
+    e = claim % MOD
+    rs = []
+    for evals in round_polys:
+        if len(evals) != degree + 1:
+            raise ValueError("sumcheck: wrong round poly size")
+        e0 = evals[0]
+        if evals[1] != (e - e0) % MOD:
+            raise ValueError("sumcheck: p(0)+p(1) != claim")
+        transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
+        for j, v in enumerate(evals[2:]):
+            transcript.append_scalar(label + b"/e%d" % (j + 2), _scalar_bytes(v))
+        r = transcript.challenge_scalar(label + b"/r")
+        rs.append(r)
+        e = lagrange_eval(evals, r)
+    return e, rs
 
 
 @functools.lru_cache(maxsize=None)
@@ -149,6 +322,15 @@ def _limb_to_int(x) -> int:
     return limbs_to_int(np.asarray(jax.device_get(x))) % MOD
 
 
+def _limbs_rows_to_ints(x) -> list:
+    """[k, L] canonical limb rows -> k ints, in ONE device transfer."""
+    from ..field.fields import limbs_to_int
+    import numpy as np
+
+    arr = np.asarray(jax.device_get(x))
+    return [limbs_to_int(row) % MOD for row in arr]
+
+
 # ---------------------------------------------------------------------------
 # Prover / verifier
 # ---------------------------------------------------------------------------
@@ -160,15 +342,17 @@ def prove_cubic(claim: int, eq, pa, pb, pc, transcript: Transcript, label: bytes
     the wire but returned for tests); final_vals: (eq, Az, Bz, Cz) at r.
     """
     n = eq.shape[0]
-    kernel = _round_cubic_kernel(n)
+    step = _step_cubic_kernel(n)
     binder = _bind_kernel(n, 4)
     rounds = []
     rs = []
     e = claim % MOD
+    tables = (eq, pa, pb, pc)
     active = n
+    evals_dev = _round_cubic_kernel(n)(*tables, jnp.int32(active // 2))
     while active > 1:
-        ah = jnp.int32(active // 2)
-        e0, e2, e3 = (_limb_to_int(v) for v in kernel(eq, pa, pb, pc, ah))
+        ev = _limbs_rows_to_ints(evals_dev)
+        e0, e2, e3 = ev
         e1 = (e - e0) % MOD
         transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
         transcript.append_scalar(label + b"/e2", _scalar_bytes(e2))
@@ -176,34 +360,41 @@ def prove_cubic(claim: int, eq, pa, pb, pc, transcript: Transcript, label: bytes
         r = transcript.challenge_scalar(label + b"/r")
         rs.append(r)
         rounds.append([e0, e1, e2, e3])
-        eq, pa, pb, pc = binder(_to_dev(r), ah, eq, pa, pb, pc)
         e = lagrange_eval([e0, e1, e2, e3], r)
+        if active > 2:
+            evals_dev, tables = step(_to_dev(r), jnp.int32(active // 2), *tables)
+        else:
+            tables = binder(_to_dev(r), jnp.int32(active // 2), *tables)
         active //= 2
-    finals = tuple(_limb_to_int(t[0]) for t in (eq, pa, pb, pc))
+    finals = tuple(_limb_to_int(t[0]) for t in tables)
     return rounds, rs, finals, e
 
 
 def prove_quad(claim: int, pm, pz, transcript: Transcript, label: bytes):
     """Phase-2 sumcheck.  Returns (round_evals, r_points, final_vals, e)."""
     n = pm.shape[0]
-    kernel = _round_quad_kernel(n)
+    step = _step_quad_kernel(n)
     binder = _bind_kernel(n, 2)
     rounds, rs = [], []
     e = claim % MOD
+    tables = (pm, pz)
     active = n
+    evals_dev = _round_quad_kernel(n)(*tables, jnp.int32(active // 2))
     while active > 1:
-        ah = jnp.int32(active // 2)
-        e0, e2 = (_limb_to_int(v) for v in kernel(pm, pz, ah))
+        e0, e2 = _limbs_rows_to_ints(evals_dev)
         e1 = (e - e0) % MOD
         transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
         transcript.append_scalar(label + b"/e2", _scalar_bytes(e2))
         r = transcript.challenge_scalar(label + b"/r")
         rs.append(r)
         rounds.append([e0, e1, e2])
-        pm, pz = binder(_to_dev(r), ah, pm, pz)
         e = lagrange_eval([e0, e1, e2], r)
+        if active > 2:
+            evals_dev, tables = step(_to_dev(r), jnp.int32(active // 2), *tables)
+        else:
+            tables = binder(_to_dev(r), jnp.int32(active // 2), *tables)
         active //= 2
-    finals = (_limb_to_int(pm[0]), _limb_to_int(pz[0]))
+    finals = (_limb_to_int(tables[0][0]), _limb_to_int(tables[1][0]))
     return rounds, rs, finals, e
 
 

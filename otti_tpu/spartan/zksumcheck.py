@@ -87,9 +87,11 @@ def prove_zk(
     n = tables[0].shape[0]
     if degree == 3:
         kernel = sumcheck._round_cubic_kernel(n)
+        step = sumcheck._step_cubic_kernel(n)
         binder = sumcheck._bind_kernel(n, 4)
     else:
         kernel = sumcheck._round_quad_kernel(n)
+        step = sumcheck._step_quad_kernel(n)
         binder = sumcheck._bind_kernel(n, 2)
     gens_d = gens.sub(degree + 1)
     gens_1 = gens.sub(1)
@@ -98,14 +100,14 @@ def prove_zk(
     comm_polys, comm_evals, dots, rs = [], [], [], []
     active = n
     tabs = tables
+    evals_dev = kernel(*tabs, jnp.int32(active // 2))
     while active > 1:
-        ah = jnp.int32(active // 2)
-        outs = kernel(*tabs, ah)
+        ev = sumcheck._limbs_rows_to_ints(evals_dev)
         if degree == 3:
-            e0, e2, e3 = (sumcheck._limb_to_int(v) for v in outs)
+            e0, e2, e3 = ev
             evals = [e0, (e - e0) % L, e2, e3]
         else:
-            e0, e2 = (sumcheck._limb_to_int(v) for v in outs)
+            e0, e2 = ev
             evals = [e0, (e - e0) % L, e2]
         coeffs = _coeffs_from_evals(evals)
         b_poly = rng.scalar()
@@ -135,7 +137,14 @@ def prove_zk(
         )
         dots.append(dp)
 
-        tabs = binder(sumcheck._to_dev(r), ah, *tabs)
+        if active > 2:
+            # fused bind + next evals: dispatched early so the device works
+            # while the host runs the sigma proof of the next round
+            evals_dev, tabs = step(
+                sumcheck._to_dev(r), jnp.int32(active // 2), *tabs
+            )
+        else:
+            tabs = binder(sumcheck._to_dev(r), jnp.int32(active // 2), *tabs)
         e, be = e_next, b_next
         active //= 2
 
