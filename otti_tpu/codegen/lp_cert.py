@@ -34,16 +34,36 @@ def _scaled(v: float, S: int) -> int:
     return int(round(v * S))
 
 
+def pick_frac_bits(prob: LPProblem, x, y, delta: float) -> int:
+    """Adaptive fixed-point precision: rounding error of a scaled row is
+    bounded by ~2^-f * L1 where L1 = max over checks of sum(|coeff|+|var|);
+    choose f so the error is < delta/8 (the tolerance must dominate the
+    quantization noise, not vice versa)."""
+    l1 = 1.0
+    for i in range(prob.n_rows):
+        l1 = max(l1, float(np.abs(prob.A[i]).sum() + np.abs(x).sum()) + abs(prob.rhs[i]))
+    l1 = max(
+        l1,
+        float(np.abs(prob.c).sum() + np.abs(x).sum()),
+        float(np.abs(prob.rhs).sum() + np.abs(y).sum()),
+    )
+    import math as _m
+
+    return max(DEFAULT_FRAC_BITS, int(_m.ceil(_m.log2(8.0 * l1 / delta))))
+
+
 def build(
     prob: LPProblem,
     x: np.ndarray,
     y: np.ndarray,
-    frac_bits: int = DEFAULT_FRAC_BITS,
+    frac_bits: int | None = None,
     delta: float = DELTA,
     full_dual: bool = False,
 ):
     """-> (R1CSShape, vars, inputs).  No public inputs: the instance is the
     statement, (X, Y) are existential (lpcodegen cvargen/__GADGET_exist)."""
+    if frac_bits is None:
+        frac_bits = pick_frac_bits(prob, x, y, delta)
     S = 1 << frac_bits
     S2 = S * S
     d_s2 = _scaled(delta, S) * S  # delta at S^2 scale

@@ -34,15 +34,40 @@ def _sc(v: float, S: int) -> int:
     return int(round(v * S))
 
 
+def pick_frac_bits(prob: SDPProblem, X, y, Lx, Ls, epsilon: float) -> int:
+    """Adaptive fixed-point precision: the S^3-scale gap sum accumulates
+    ~n^2 products whose quantization error is ~(|s|+|x|) * vmax * 2^-f;
+    pick f so the total stays under epsilon/8 (cap 50 to keep float64
+    scaling exact)."""
+    import math as _m
+
+    n = prob.n
+    vmax = max(
+        1.0,
+        float(np.abs(X).max()),
+        float(np.abs(y).max() if len(y) else 1.0),
+        float(np.abs(Lx).max()),
+        float(np.abs(Ls).max()),
+        float(np.abs(prob.C).max()),
+        max((float(np.abs(Ai).max()) for Ai in prob.A), default=1.0),
+        float(np.abs(prob.b).max() if len(prob.b) else 1.0),
+    )
+    sens = 16.0 * (n * n + 1) * vmax * vmax * (1 + float(np.abs(y).sum()))
+    f = int(_m.ceil(_m.log2(sens / epsilon)))
+    return min(50, max(DEFAULT_FRAC_BITS, f))
+
+
 def build(
     prob: SDPProblem,
     X: np.ndarray,
     y: np.ndarray,
     Lx: np.ndarray,
     Ls: np.ndarray,
-    frac_bits: int = DEFAULT_FRAC_BITS,
+    frac_bits: int | None = None,
     epsilon: float = EPSILON,
 ):
+    if frac_bits is None:
+        frac_bits = pick_frac_bits(prob, X, y, Lx, Ls, epsilon)
     """-> (R1CSShape, vars, inputs).  All-existential (no public inputs),
     matching the reference main() (sdpcodegen $xvars/$yvars/$lvars)."""
     n, m = prob.n, prob.m

@@ -1,0 +1,166 @@
+"""Spartan SNARK mode: preprocessing commitments to A/B/C + SPARK evals.
+
+The NIZK verifier evaluates the sparse matrices itself in O(nnz)
+(SURVEY.md §3.5 step 6).  SNARK mode moves that work to the prover: the
+matrices are committed once (spark.commit — the analog of Spartan's
+``SNARKGens``/``ComputationCommitment``), and each proof carries claimed
+evaluations (eA, eB, eC) at (rx, ry) plus SPARK evaluation proofs tying
+them to the commitment.  Everything else reuses the plain NIZK flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..transcript.merlin import Transcript
+from . import nizk, r1cs, spark, sumcheck
+from .nizk import MOD, _sb
+
+PROTO = b"otti-tpu Spartan SNARK v1"
+
+
+@dataclasses.dataclass
+class SNARKProof:
+    base: nizk.NIZKProof
+    evals_abc: tuple  # claimed (eA, eB, eC) at (rx, ry)
+    spark_proofs: tuple  # per-matrix SparkMatrixEvalProof
+
+
+def prove(
+    dev: r1cs.R1CSDevice,
+    comm: spark.SparkCommitment,
+    vars_ints: list,
+    inputs_ints: list,
+) -> SNARKProof:
+    # run the plain NIZK prover with a SNARK-domain transcript
+    base = nizk.prove(dev, vars_ints, inputs_ints, proto=PROTO)
+
+    # reconstruct (rx, ry) by replaying the transcript, then prove evals
+    t = _replay_transcript(dev, inputs_ints, base)
+    rx, ry = _replay_points(dev, base, t)
+
+    from ..field import ops as F
+    from ..field.fields import SCALAR
+    from . import mle
+
+    e_rx = mle.eq_table(nizk._dev_vec(rx))
+    e_ry = mle.eq_table(nizk._dev_vec(ry))
+    ea, eb, ec = (int(F.pack_ints(SCALAR, v)) for v in dev.eval_at(e_rx, e_ry))
+    for lbl, v in ((b"eval_A", ea), (b"eval_B", eb), (b"eval_C", ec)):
+        t.append_scalar(lbl, _sb(v))
+
+    sps = []
+    for which, (lbl, v) in enumerate(
+        ((b"sparkA", ea), (b"sparkB", eb), (b"sparkC", ec))
+    ):
+        sps.append(
+            spark.prove_eval(
+                comm.mats[which], comm.mu_x, comm.mu_y, rx, ry, v, t, lbl
+            )
+        )
+    return SNARKProof(base=base, evals_abc=(ea, eb, ec), spark_proofs=tuple(sps))
+
+
+def _replay_transcript(dev, inputs_ints, base) -> Transcript:
+    t = Transcript(PROTO)
+    t.append_message(b"R1CS", dev.digest)
+    t.append_u64(b"num_inputs", len(inputs_ints))
+    for x in inputs_ints:
+        t.append_scalar(b"input", _sb(x))
+    for enc in base.comm_vars:
+        t.append_point(b"poly_commitment", enc)
+    return t
+
+
+def _replay_points(dev, base, t):
+    mu_x = (dev.num_cons - 1).bit_length()
+    t.challenge_vector(b"challenge_tau", mu_x)
+    _, rx = sumcheck.verify_rounds(0, base.phase1_polys, 3, t, b"sc1")
+    vA, vB, vC = base.claims_abc
+    t.append_scalar(b"vA", _sb(vA))
+    t.append_scalar(b"vB", _sb(vB))
+    t.append_scalar(b"vC", _sb(vC))
+    r_a = t.challenge_scalar(b"challenge_Az")
+    r_b = t.challenge_scalar(b"challenge_Bz")
+    r_c = t.challenge_scalar(b"challenge_Cz")
+    claim2 = (r_a * vA + r_b * vB + r_c * vC) % MOD
+    _, ry = sumcheck.verify_rounds(claim2, base.phase2_polys, 2, t, b"sc2")
+    for v in base.eval_u:
+        t.append_scalar(b"eval_u", _sb(v))
+    t.append_scalar(b"claim_w", _sb(base.claim_w))
+    return rx, ry
+
+
+def verify(
+    dev: r1cs.R1CSDevice,
+    comm: spark.SparkCommitment,
+    inputs_ints: list,
+    proof: SNARKProof,
+) -> bool:
+    try:
+        return _verify_inner(dev, comm, inputs_ints, proof)
+    except (ValueError, AssertionError):
+        return False
+
+
+def _verify_inner(dev, comm, inputs_ints, proof) -> bool:
+    base = proof.base
+    t = _replay_transcript(dev, inputs_ints, base)
+
+    mu_x = (dev.num_cons - 1).bit_length()
+    tau = t.challenge_vector(b"challenge_tau", mu_x)
+    e1, rx = sumcheck.verify_rounds(0, base.phase1_polys, 3, t, b"sc1")
+    vA, vB, vC = base.claims_abc
+    t.append_scalar(b"vA", _sb(vA))
+    t.append_scalar(b"vB", _sb(vB))
+    t.append_scalar(b"vC", _sb(vC))
+    if nizk._eq_point(tau, rx) * ((vA * vB - vC) % MOD) % MOD != e1:
+        return False
+    r_a = t.challenge_scalar(b"challenge_Az")
+    r_b = t.challenge_scalar(b"challenge_Bz")
+    r_c = t.challenge_scalar(b"challenge_Cz")
+    claim2 = (r_a * vA + r_b * vB + r_c * vC) % MOD
+    e2, ry = sumcheck.verify_rounds(claim2, base.phase2_polys, 2, t, b"sc2")
+    for v in base.eval_u:
+        t.append_scalar(b"eval_u", _sb(v))
+    t.append_scalar(b"claim_w", _sb(base.claim_w))
+
+    # Hyrax witness opening (same as NIZK)
+    nvp = dev.num_vars
+    mu_rows, mu_cols = nizk._hyrax_dims(nvp)
+    from ..native import msm_host, ristretto_decode_host
+    from .zknizk import _eq_weights
+    from . import commitments
+
+    r_w = ry[1:]
+    Lw = _eq_weights(r_w[:mu_rows])
+    rows_pts = [ristretto_decode_host(enc) for enc in base.comm_vars]
+    if any(p is None for p in rows_pts):
+        return False
+    lhs = msm_host(rows_pts, Lw)
+    G, _ = commitments.gen_points_host(1 << mu_cols, nizk.GENS_LABEL)
+    rhs = msm_host(list(G[: len(base.eval_u)]), list(base.eval_u))
+    if not lhs.ristretto_eq(rhs):
+        return False
+    Rw = _eq_weights(r_w[mu_rows:])
+    if sum(u * r for u, r in zip(base.eval_u, Rw)) % MOD != base.claim_w:
+        return False
+
+    # SNARK difference: matrix evals come from the proof + SPARK
+    ea, eb, ec = proof.evals_abc
+    for lbl, v in ((b"eval_A", ea), (b"eval_B", eb), (b"eval_C", ec)):
+        t.append_scalar(lbl, _sb(v))
+    for which, (lbl, v) in enumerate(
+        ((b"sparkA", ea), (b"sparkB", eb), (b"sparkC", ec))
+    ):
+        if not spark.verify_eval(
+            comm, which, rx, ry, v, proof.spark_proofs[which], t, lbl
+        ):
+            return False
+
+    io = [1] + list(inputs_ints) + [0] * (nvp - 1 - len(inputs_ints))
+    v_io = nizk._mle_eval_host(io, r_w)
+    ry0 = ry[0]
+    v_z = ((1 - ry0) * base.claim_w + ry0 * v_io) % MOD
+    v_m = (r_a * ea + r_b * eb + r_c * ec) % MOD
+    return (v_m * v_z) % MOD == e2

@@ -1,0 +1,49 @@
+"""SNARK mode: SPARK sparse-matrix commitments + succinct matrix evals."""
+
+import dataclasses
+
+from otti_tpu.spartan import nizk, snark, spark
+from tests.test_nizk import random_instance, toy_instance
+
+MOD = nizk.MOD
+
+
+def test_snark_completeness_toy():
+    shape, vars_, ios = toy_instance()
+    dev = shape.to_device()
+    comm = spark.commit(dev)
+    proof = snark.prove(dev, comm, vars_, ios)
+    assert snark.verify(dev, comm, ios, proof)
+
+
+def test_snark_random_and_soundness():
+    shape, zvars, inputs = random_instance(12, 9, 2, seed=21)
+    dev = shape.to_device()
+    comm = spark.commit(dev)
+    proof = snark.prove(dev, comm, zvars, inputs)
+    assert snark.verify(dev, comm, inputs, proof)
+    # wrong inputs fail
+    assert not snark.verify(dev, comm, [(x + 1) % MOD for x in inputs], proof)
+    # tampered matrix evaluation claim fails (the SPARK tie-in)
+    ea, eb, ec = proof.evals_abc
+    bad = dataclasses.replace(proof, evals_abc=((ea + 1) % MOD, eb, ec))
+    assert not snark.verify(dev, comm, inputs, bad)
+    # tampered logup sum fails
+    sp0 = dataclasses.replace(
+        proof.spark_proofs[0], s_R_row=(proof.spark_proofs[0].s_R_row + 1) % MOD
+    )
+    bad2 = dataclasses.replace(
+        proof, spark_proofs=(sp0,) + proof.spark_proofs[1:]
+    )
+    assert not snark.verify(dev, comm, inputs, bad2)
+    # tampered opening fails
+    sp1 = proof.spark_proofs[1]
+    sp1b = dataclasses.replace(
+        sp1, entry_opening_u=[(sp1.entry_opening_u[0] + 1) % MOD]
+        + sp1.entry_opening_u[1:]
+    )
+    bad3 = dataclasses.replace(
+        proof,
+        spark_proofs=(proof.spark_proofs[0], sp1b, proof.spark_proofs[2]),
+    )
+    assert not snark.verify(dev, comm, inputs, bad3)
