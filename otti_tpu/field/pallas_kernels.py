@@ -1,0 +1,130 @@
+"""Pallas TPU kernels for the field-arithmetic hot path (opt-in).
+
+The XLA path (field/ops.py) expresses one modular multiply as ~10 fused
+ops with HBM-materialized intermediates between the conv loop, carry
+scan, and fold.  This kernel fuses the whole pipeline in VMEM with a
+limb-major layout ([N_LIMBS, batch]: batch along the 128-wide lane axis,
+limbs along sublanes), eliminating the intermediate traffic — the
+speed-of-light shape for the VPU (see /opt/skills/guides/pallas_guide.md).
+
+Status: correctness-validated in interpreter mode (CPU tests) and smoke-
+tested on the axon TPU; opt-in via OTTI_PALLAS=1 because kernel compiles
+through the remote-compile tunnel are minutes each (cached thereafter).
+The XLA path remains the default.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields import CONV_LIMBS, FOLD_LIMB, LIMB_BITS, LIMB_MASK, N_LIMBS, FieldSpec
+
+ENABLED = os.environ.get("OTTI_PALLAS", "0") == "1"
+
+
+def _mul_kernel_factory(spec: FieldSpec):
+    def kernel(a_ref, b_ref, fm_ref, mod_ref, tail_ref, o_ref):
+        # a, b: [N_LIMBS, B] limb-major blocks in VMEM; constants passed as
+        # inputs (pallas kernels cannot capture array constants)
+        a = a_ref[:]
+        b = b_ref[:]
+        B = a.shape[1]
+        # --- schoolbook conv: c[k] = sum_i a[i] * b[k-i]  ([43, B]) -------
+        c = jnp.zeros((CONV_LIMBS, B), jnp.int32)
+        for i in range(N_LIMBS):
+            c = jax.lax.dynamic_update_slice_in_dim(
+                c,
+                jax.lax.dynamic_slice_in_dim(c, i, N_LIMBS, axis=0)
+                + a[i : i + 1] * b,
+                i,
+                axis=0,
+            )
+        # --- carry to 44 normalized limbs --------------------------------
+        def carry_rows(x, n_out):
+            carry = jnp.zeros((x.shape[1],), jnp.int32)
+            rows = []
+            for i in range(n_out - 1):
+                v = (x[i] if i < x.shape[0] else 0) + carry
+                limb = v & LIMB_MASK
+                carry = (v - limb) >> LIMB_BITS
+                rows.append(limb)
+            v = (x[n_out - 1] if n_out - 1 < x.shape[0] else 0) + carry
+            rows.append(v)
+            return jnp.stack(rows)
+
+        c = carry_rows(c, CONV_LIMBS + 1)  # [44, B]
+        # --- fold high limbs with the precomputed matrix ------------------
+        fm = fm_ref[:]  # [23, 22]
+        high = c[FOLD_LIMB:]  # [23, B]
+        folded = jnp.einsum("hl,hb->lb", fm, high, preferred_element_type=jnp.int32)
+        folded = folded.at[:FOLD_LIMB].add(c[:FOLD_LIMB])
+        x = carry_rows(folded, FOLD_LIMB + 2)  # [23, B]
+        # --- final fold (scalar field form) -------------------------------
+        if spec.kind == "scalar":
+            h0, h1 = x[FOLD_LIMB], x[FOLD_LIMB + 1]
+            out = jnp.zeros((N_LIMBS, B), jnp.int32) + mod_ref[:][:, None]
+            out = out.at[:FOLD_LIMB].add(x[:FOLD_LIMB])
+            tl = tail_ref[:]  # [11]
+            out = out.at[0:11].add(-h0[None, :] * tl[:, None])
+            out = out.at[1:12].add(-h1[None, :] * tl[:, None])
+            o_ref[:] = carry_rows(out, N_LIMBS)
+        else:
+            h = x[FOLD_LIMB] >> 3
+            for j in range(FOLD_LIMB + 1, x.shape[0]):
+                h = h + (x[j] << (LIMB_BITS * (j - FOLD_LIMB) - 3))
+            out = jnp.zeros((N_LIMBS, B), jnp.int32)
+            out = out.at[:FOLD_LIMB].add(x[:FOLD_LIMB])
+            out = out.at[FOLD_LIMB].add(x[FOLD_LIMB] & 7)
+            out = out.at[0].add(19 * h)
+            o_ref[:] = carry_rows(out, N_LIMBS)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_call(spec: FieldSpec, batch: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _mul_kernel_factory(spec)
+    shape = jax.ShapeDtypeStruct((N_LIMBS, batch), jnp.int32)
+    fm = jnp.asarray(spec.fold_matrix, jnp.int32)
+    if spec.kind == "scalar":
+        mod = jnp.asarray(spec.modulus_limbs, jnp.int32)
+        tail = jnp.asarray(spec.tail_limbs, jnp.int32)
+    else:
+        mod = jnp.zeros(N_LIMBS, jnp.int32)
+        tail = jnp.zeros(11, jnp.int32)
+    return jax.jit(
+        lambda a, b: pl.pallas_call(
+            kernel,
+            out_shape=shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(a, b, fm, mod, tail)
+    )
+
+
+def mul_pallas(spec: FieldSpec, a: jax.Array, b: jax.Array, interpret: bool = False):
+    """Batched field mul via the fused Pallas kernel.
+
+    a, b: [..., N_LIMBS] (same layout as field.ops); handles the limb-major
+    transposition at the boundary.
+    """
+    batch_shape = a.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    pad = (-n) % 128
+    am = jnp.moveaxis(a.reshape(n, N_LIMBS), -1, 0)
+    bm = jnp.moveaxis(b.reshape(n, N_LIMBS), -1, 0)
+    if pad:
+        am = jnp.pad(am, ((0, 0), (0, pad)))
+        bm = jnp.pad(bm, ((0, 0), (0, pad)))
+    out = _mul_call(spec, n + pad, interpret)(am, bm)
+    out = jnp.moveaxis(out[:, :n], 0, -1)
+    return out.reshape(batch_shape + (N_LIMBS,))
