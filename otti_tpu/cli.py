@@ -48,6 +48,17 @@ class Timer:
         return "  ".join(f"{k}={v:.2f}s" for k, v in self.t.items())
 
 
+def already_verified(out_dir, name) -> bool:
+    if not out_dir:
+        return False
+    meta = os.path.join(out_dir, name + ".meta.json")
+    try:
+        with open(meta) as f:
+            return bool(json.load(f).get("verified"))
+    except Exception:
+        return False
+
+
 def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False
 ):
@@ -62,8 +73,16 @@ def prove_and_verify(
         f"Proving {name}{' (zk)' if zk else ''}: {shape.num_cons} constraints, "
         f"{shape.num_vars} vars, {shape.num_inputs} inputs"
     )
+    from . import metrics
+
+    metrics.reset()
     with timer.time("prove"):
         proof = prover.prove(dev, vars_, inputs)
+    prove_metrics = metrics.snapshot()
+    if "prove" in timer.t and timer.t["prove"] > 0:
+        prove_metrics["constraints_per_s"] = round(
+            shape.num_cons / timer.t["prove"], 1
+        )
     with timer.time("verify"):
         ok = prover.verify(dev, inputs, proof)
     if ok:
@@ -82,6 +101,7 @@ def prove_and_verify(
                     "verified": bool(ok),
                     "proof_bytes": proof.size_bytes(),
                     "timings": timer.t,
+                    "prover_metrics": prove_metrics,
                 },
                 f,
                 indent=2,
@@ -89,94 +109,175 @@ def prove_and_verify(
     return ok
 
 
-def run_lp(files, home_out, prove=True, zk=False):
+def run_lp(files, home_out, prove=True, zk=False, resume=False):
     from .codegen import lp_cert
     from .io import mps
     from .oracle import lp_oracle
 
     ok_all = True
-    for path in files:
-        name = os.path.basename(path)
+    out_dir = os.path.join(home_out, "LP")
+
+    def lower_one(path):
+        """Host pipeline stage: parse -> oracle -> lower (runs on a worker
+        thread so instance i+1 lowers while instance i proves on device —
+        the pipeline-parallel stage overlap of SURVEY.md §2.3)."""
         timer = Timer()
-        _stage(f"Compiling {name}")
         with timer.time("parse"):
             prob = mps.parse_mps(path)
         with timer.time("oracle"):
             x, y, opt = lp_oracle.solve(prob)
-        _stage(f"  oracle optimum {opt:.4f}")
         with timer.time("lower"):
             shape, vars_, inputs = lp_cert.build(prob, x, y)
-        if prove:
-            ok_all &= prove_and_verify(
-                shape, vars_, inputs, name, timer, os.path.join(home_out, "LP"), zk
-            )
-        else:
-            _stage(f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]")
+        return shape, vars_, inputs, opt, timer
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        p
+        for p in files
+        if not (resume and already_verified(out_dir, os.path.basename(p)))
+    ]
+    for p in set(files) - set(todo):
+        _stage(f"Skipping {os.path.basename(p)} (already verified)")
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futures = [(p, ex.submit(lower_one, p)) for p in todo]
+        for path, fut in futures:
+            name = os.path.basename(path)
+            _stage(f"Compiling {name}")
+            try:
+                shape, vars_, inputs, opt, timer = fut.result()
+                _stage(f"  oracle optimum {opt:.4f}")
+                if prove:
+                    ok_all &= prove_and_verify(
+                        shape, vars_, inputs, name, timer, out_dir, zk
+                    )
+                else:
+                    _stage(
+                        f"  lowered {name}: {shape.num_cons} constraints "
+                        f"[{timer.report()}]"
+                    )
+            except Exception as e:  # fail-soft per instance (SURVEY.md §5.3)
+                _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+                ok_all = False
     return ok_all
 
 
-def run_sdp(files, home_out, prove=True, zk=False):
+def run_sdp(files, home_out, prove=True, zk=False, resume=False):
     from .codegen import sdp_cert
     from .io import sdpa
     from .oracle import sdp_oracle
 
     ok_all = True
+    out_dir = os.path.join(home_out, "SDP")
     for path in files:
         name = os.path.basename(path)
         if not name.endswith(".dat-s"):
             _stage(f"ERROR: {name} is not a dat-s file")
             continue
+        if resume and already_verified(out_dir, name):
+            _stage(f"Skipping {name} (already verified)")
+            continue
         timer = Timer()
         _stage(f"Making certificate for {name}")
-        with timer.time("parse"):
-            prob = sdpa.parse_dats(path)
-        with timer.time("oracle"):
-            X, y, S = sdp_oracle.solve(prob)
-        with timer.time("lower"):
-            Lx = sdp_oracle.cholesky_witness(X)
-            Ls = sdp_oracle.cholesky_witness(S)
-            shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls)
-        if prove:
-            ok_all &= prove_and_verify(
-                shape, vars_, inputs, name, timer, os.path.join(home_out, "SDP"), zk
-            )
-        else:
-            _stage(f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]")
+        try:
+            with timer.time("parse"):
+                prob = sdpa.parse_dats(path)
+            with timer.time("oracle"):
+                X, y, S = sdp_oracle.solve(prob)
+            with timer.time("lower"):
+                Lx = sdp_oracle.cholesky_witness(X)
+                Ls = sdp_oracle.cholesky_witness(S)
+                shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls)
+            if prove:
+                ok_all &= prove_and_verify(
+                    shape, vars_, inputs, name, timer, out_dir, zk
+                )
+            else:
+                _stage(
+                    f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]"
+                )
+        except Exception as e:
+            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+            ok_all = False
     return ok_all
 
 
-def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False):
+def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False, resume=False, batch=False):
     from .codegen import sgd_cert
     from .io import pmlb_local
     from .oracle import sgd_oracle
 
     cfg = pmlb_local.load_config(config_path)
     ok_all = True
+    out_dir = os.path.join(home_out, "SGD")
+    lowered = []
     for dataset, params in cfg.items():
         timer = Timer()
         name = ("prob_" if prob_check else "") + dataset
+        if resume and already_verified(out_dir, name):
+            _stage(f"Skipping {name} (already verified)")
+            continue
         _stage(f"Compile, solve, and prove {dataset}")
-        with timer.time("fetch"):
-            X, ypm = pmlb_local.fetch(
-                dataset, params["classes"][0], params["classes"][1], params["seed"]
-            )
-        with timer.time("oracle"):
-            w = sgd_oracle.solve(
-                X,
-                ypm,
-                seed=params["seed"],
-                eta0=params["eta0"],
-                maxiter=params["maxiter"],
-                tol=params["tol"],
-            )
-        with timer.time("lower"):
-            shape, vars_, inputs = sgd_cert.build(X, ypm, w, prob=prob_check)
-        if prove:
-            ok_all &= prove_and_verify(
-                shape, vars_, inputs, name, timer, os.path.join(home_out, "SGD"), zk
-            )
-        else:
-            _stage(f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]")
+        try:
+            with timer.time("fetch"):
+                X, ypm = pmlb_local.fetch(
+                    dataset, params["classes"][0], params["classes"][1], params["seed"]
+                )
+            with timer.time("oracle"):
+                w = sgd_oracle.solve(
+                    X,
+                    ypm,
+                    seed=params["seed"],
+                    eta0=params["eta0"],
+                    maxiter=params["maxiter"],
+                    tol=params["tol"],
+                )
+            with timer.time("lower"):
+                shape, vars_, inputs = sgd_cert.build(X, ypm, w, prob=prob_check)
+            if prove and batch:
+                lowered.append((name, shape, vars_, inputs, timer))
+            elif prove:
+                ok_all &= prove_and_verify(
+                    shape, vars_, inputs, name, timer, out_dir, zk
+                )
+            else:
+                _stage(
+                    f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]"
+                )
+        except Exception as e:
+            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+            ok_all = False
+
+    if prove and batch and lowered:
+        from .spartan import batched, nizk
+
+        max_cons = max(sh.num_cons for _, sh, _, _, _ in lowered)
+        max_vars = max(
+            max(sh.num_vars_padded, sh.num_inputs + 1)
+            for _, sh, _, _, _ in lowered
+        )
+        _stage(
+            f"Batched proving {len(lowered)} instances "
+            f"(padded to {max_cons} cons / {max_vars} vars)"
+        )
+        devs = [
+            sh.to_device(min_cons=max_cons, min_vars=max_vars)
+            for _, sh, _, _, _ in lowered
+        ]
+        t0 = time.time()
+        proofs = batched.prove_many(
+            devs,
+            [v for _, _, v, _, _ in lowered],
+            [i for _, _, _, i, _ in lowered],
+        )
+        _stage(f"  batch proved in {time.time() - t0:.2f}s")
+        for (name, sh, v, i, timer), dev, proof in zip(lowered, devs, proofs):
+            ok = nizk.verify(dev, i, proof)
+            if ok:
+                _stage(f"Verification successful for {name} (batched)")
+            else:
+                _stage(f"VERIFICATION FAILED for {name}")
+            ok_all &= ok
     return ok_all
 
 
@@ -193,6 +294,14 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="out")
     parser.add_argument(
         "--no-prove", action="store_true", help="stop after R1CS lowering"
+    )
+    parser.add_argument(
+        "--resume", action="store_true", help="skip already-verified instances"
+    )
+    parser.add_argument(
+        "--batch",
+        action="store_true",
+        help="batched proving (SGD): all instances as one device program",
     )
     parser.add_argument(
         "--zk",
@@ -230,7 +339,7 @@ def main(argv=None):
         else:
             _stage("Running LP small Otti dataset")
             files = listdir("LP/MPS-small")
-        ok = run_lp(files, args.out, prove, args.zk)
+        ok = run_lp(files, args.out, prove, args.zk, args.resume)
     elif args.sdp:
         if args.custom:
             files = [args.custom]
@@ -241,12 +350,17 @@ def main(argv=None):
         else:
             _stage("Running SDP small Otti dataset")
             files = listdir("SDP/small")
-        ok = run_sdp(files, args.out, prove, args.zk)
+        ok = run_sdp(files, args.out, prove, args.zk, args.resume)
     elif args.sgd:
         if args.full:
             _stage("Running SGD full Otti dataset")
             ok = run_sgd(
-                os.path.join(ds, "SGD/pmlb-full.json"), args.out, prove, zk=args.zk
+                os.path.join(ds, "SGD/pmlb-full.json"),
+                args.out,
+                prove,
+                zk=args.zk,
+                resume=args.resume,
+                batch=args.batch,
             )
             _stage("Running SGD probabilistic Otti dataset")
             ok &= run_sgd(
@@ -255,11 +369,18 @@ def main(argv=None):
                 prove,
                 prob_check=True,
                 zk=args.zk,
+                resume=args.resume,
+                batch=args.batch,
             )
         else:
             _stage("Running SGD small Otti dataset")
             ok = run_sgd(
-                os.path.join(ds, "SGD/pmlb-small.json"), args.out, prove, zk=args.zk
+                os.path.join(ds, "SGD/pmlb-small.json"),
+                args.out,
+                prove,
+                zk=args.zk,
+                resume=args.resume,
+                batch=args.batch,
             )
     else:
         parser.print_help()

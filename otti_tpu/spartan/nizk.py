@@ -119,6 +119,8 @@ def prove(
     inputs_ints: list,
     proto: bytes = PROTO,
 ) -> NIZKProof:
+    from .. import metrics
+
     t = Transcript(proto)
     t.append_message(b"R1CS", dev.digest)
     t.append_u64(b"num_inputs", len(inputs_ints))
@@ -126,11 +128,14 @@ def prove(
         t.append_scalar(b"input", _sb(x))
 
     nvp = dev.num_vars
+    metrics.add("constraints", dev.num_cons)
     mu_rows, mu_cols = _hyrax_dims(nvp)
     vars_padded = list(vars_ints) + [0] * (nvp - len(vars_ints))
     W = _dev_vec(vars_padded).reshape(1 << mu_rows, 1 << mu_cols, -1)
-    comm_rows = commitments.commit_rows(W, [0] * (1 << mu_rows), GENS_LABEL)
-    comm_enc = commitments.encode_points(comm_rows)
+    with metrics.timed("commit"):
+        comm_rows = commitments.commit_rows(W, [0] * (1 << mu_rows), GENS_LABEL)
+        comm_enc = commitments.encode_points(comm_rows)
+    metrics.add("msm_points", nvp)
     for enc in comm_enc:
         t.append_point(b"poly_commitment", enc)
 
@@ -143,10 +148,13 @@ def prove(
         nvp,
     )
     eq_tau = mle.eq_table(_dev_vec(tau))
-    az, bz, cz = dev.matvecs(z)
-    p1, rx, (f_eq, vA, vB, vC), e1 = sumcheck.prove_cubic(
-        0, eq_tau, az, bz, cz, t, b"sc1"
-    )
+    with metrics.timed("matvec"):
+        az, bz, cz = dev.matvecs(z)
+    with metrics.timed("sumcheck1"):
+        p1, rx, (f_eq, vA, vB, vC), e1 = sumcheck.prove_cubic(
+            0, eq_tau, az, bz, cz, t, b"sc1"
+        )
+    metrics.add("sumcheck_rounds", mu_x)
     t.append_scalar(b"vA", _sb(vA))
     t.append_scalar(b"vB", _sb(vB))
     t.append_scalar(b"vC", _sb(vC))
@@ -160,7 +168,8 @@ def prove(
     m_table = dev.matvec_T_weighted(
         (_dev_scalar(r_a), _dev_scalar(r_b), _dev_scalar(r_c)), e_rx
     )
-    p2, ry, (f_m, f_z), e2 = sumcheck.prove_quad(claim2, m_table, z, t, b"sc2")
+    with metrics.timed("sumcheck2"):
+        p2, ry, (f_m, f_z), e2 = sumcheck.prove_quad(claim2, m_table, z, t, b"sc2")
 
     # ---- witness opening at ry[1:] ---------------------------------------
     # Z(y) = (1-y0) W(y_1..) + y0 IO(y_1..); prove W(ry[1:]) via Hyrax rows.

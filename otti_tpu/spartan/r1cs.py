@@ -102,14 +102,25 @@ class R1CSShape:
         )
         return hashlib.sha3_256(bytes(meta + h)).digest()
 
-    def to_device(self) -> "R1CSDevice":
-        nzpad = 2 * self.num_vars_padded
+    def to_device(self, min_cons: int = 1, min_vars: int = 1) -> "R1CSDevice":
+        """``min_cons``/``min_vars`` force larger power-of-two padding so
+        heterogeneous instances can share one batched prover program
+        (spartan/batched.py)."""
+        nvp = max(self.num_vars_padded, _next_pow2(min_vars))
+        ncp = max(self.num_cons_padded, _next_pow2(min_cons))
+        nzpad = 2 * nvp
+        old_npad = self.num_vars_padded
+
+        def remap_col(c: int) -> int:
+            # entries were rewired against the natural padding; shift the
+            # io half (constant-one + inputs) if a larger padding is forced
+            return c if c < old_npad else nvp + (c - old_npad)
 
         def pack(mat):
             if not mat:
                 mat = [(0, 0, 0)]
             rows = np.asarray([e[0] for e in mat], np.int32)
-            cols = np.asarray([e[1] for e in mat], np.int32)
+            cols = np.asarray([remap_col(e[1]) for e in mat], np.int32)
             vals = ints_to_limbs([e[2] for e in mat])
             return (
                 jnp.asarray(rows),
@@ -118,9 +129,9 @@ class R1CSShape:
             )
 
         return R1CSDevice(
-            num_cons=self.num_cons_padded,
+            num_cons=ncp,
             num_z=nzpad,
-            num_vars=self.num_vars_padded,
+            num_vars=nvp,
             num_inputs=self.num_inputs,
             mats=tuple(pack(m) for m in (self.A, self.B, self.C)),
             digest=self.digest(),
