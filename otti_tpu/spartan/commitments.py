@@ -58,32 +58,42 @@ def commit_vector(scalars_limbs: jax.Array, blind_int: int, n: int, label: bytes
 
 
 @functools.lru_cache(maxsize=None)
-def _commit_rows_jit(rows: int, cols: int, label: bytes, with_blinds: bool):
-    G, H = gen_points_device(cols, label)
-
-    if not with_blinds:
-        return jax.jit(lambda m: pippenger.msm_shared_bases(G, m))
-
-    h_b = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (rows,) + a.shape), H)
-
-    def impl(matrix, blind_limbs):
-        pts = pippenger.msm_shared_bases(G, matrix)
-        hb = E.scalar_mul(h_b, blind_limbs)
-        return E.add(pts, hb)
-
-    return jax.jit(impl)
+def _commit_rows_jit(blk: int, cols: int, label: bytes, with_blinds: bool):
+    if with_blinds:
+        return jax.jit(
+            lambda m: pippenger.msm_fixed_base(
+                cols - 1, label, m, with_blind=True
+            )
+        )
+    return jax.jit(lambda m: pippenger.msm_fixed_base(cols, label, m))
 
 
 def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
     """Hyrax row commitments: matrix [rows, cols, L] -> batched device
-    points.  Rows share the generator vector -> one shared-bases batched
-    MSM kernel (compiles once per matrix shape)."""
+    points, via the fixed-base comb method (no doublings; cached
+    generator tables) with row-chunking to bound the gather footprint."""
     rows, cols = matrix_limbs.shape[0], matrix_limbs.shape[1]
-    if any(blinds):
-        fn = _commit_rows_jit(rows, cols, label, True)
-        return fn(matrix_limbs, jnp.asarray(ints_to_limbs(blinds)))
-    fn = _commit_rows_jit(rows, cols, label, False)
-    return fn(matrix_limbs)
+    with_blinds = any(blinds)
+    if with_blinds:
+        matrix_limbs = jnp.concatenate(
+            [matrix_limbs, jnp.asarray(ints_to_limbs(blinds))[:, None, :]], axis=1
+        )
+        cols += 1
+    n_win = -(-pippenger.SCALAR_BITS // pippenger.FIXED_BASE_WINDOW)
+    blk = max(1, (1 << 18) // max(1, cols * n_win))
+    blk = min(blk, rows)
+    fn = _commit_rows_jit(blk, cols, label, with_blinds)
+    outs = []
+    for s in range(0, rows, blk):
+        chunk = matrix_limbs[s : s + blk]
+        if chunk.shape[0] < blk:
+            pad = blk - chunk.shape[0]
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+            )
+        outs.append(fn(chunk))
+    full = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return jax.tree.map(lambda a: a[:rows], full)
 
 
 def encode_points(batch) -> list:
