@@ -35,15 +35,10 @@ def _mul_kernel_factory(spec: FieldSpec):
         b = b_ref[:]
         B = a.shape[1]
         # --- schoolbook conv: c[k] = sum_i a[i] * b[k-i]  ([43, B]) -------
+        # static slices only: the mosaic TC lowering has no dynamic_slice
         c = jnp.zeros((CONV_LIMBS, B), jnp.int32)
         for i in range(N_LIMBS):
-            c = jax.lax.dynamic_update_slice_in_dim(
-                c,
-                jax.lax.dynamic_slice_in_dim(c, i, N_LIMBS, axis=0)
-                + a[i : i + 1] * b,
-                i,
-                axis=0,
-            )
+            c = c.at[i : i + N_LIMBS].add(a[i : i + 1] * b)
         # --- carry to 44 normalized limbs --------------------------------
         def carry_rows(x, n_out):
             carry = jnp.zeros((x.shape[1],), jnp.int32)
