@@ -91,6 +91,9 @@ def prove_and_verify(
         _stage(f"VERIFICATION FAILED for {name}")
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        from .spartan import serial
+
+        serial.save(proof, os.path.join(out_dir, name + ".proof.json"))
         with open(os.path.join(out_dir, name + ".meta.json"), "w") as f:
             json.dump(
                 {

@@ -35,10 +35,16 @@ def _mul_kernel_factory(spec: FieldSpec):
         b = b_ref[:]
         B = a.shape[1]
         # --- schoolbook conv: c[k] = sum_i a[i] * b[k-i]  ([43, B]) -------
-        # static slices only: the mosaic TC lowering has no dynamic_slice
-        c = jnp.zeros((CONV_LIMBS, B), jnp.int32)
-        for i in range(N_LIMBS):
-            c = c.at[i : i + N_LIMBS].add(a[i : i + 1] * b)
+        # mosaic TC lowering supports neither dynamic_slice nor scatter-add,
+        # so build each output row as an explicit sum (static unroll)
+        rows = []
+        for k in range(CONV_LIMBS):
+            acc = None
+            for i in range(max(0, k - (N_LIMBS - 1)), min(N_LIMBS - 1, k) + 1):
+                term = a[i] * b[k - i]
+                acc = term if acc is None else acc + term
+            rows.append(acc)
+        c = jnp.stack(rows)
         # --- carry to 44 normalized limbs --------------------------------
         def carry_rows(x, n_out):
             carry = jnp.zeros((x.shape[1],), jnp.int32)
@@ -57,25 +63,39 @@ def _mul_kernel_factory(spec: FieldSpec):
         fm = fm_ref[:]  # [23, 22]
         high = c[FOLD_LIMB:]  # [23, B]
         folded = jnp.einsum("hl,hb->lb", fm, high, preferred_element_type=jnp.int32)
-        folded = folded.at[:FOLD_LIMB].add(c[:FOLD_LIMB])
+        zero_row = jnp.zeros((1, B), jnp.int32)
+        folded = folded + jnp.concatenate([c[:FOLD_LIMB], zero_row], axis=0)
         x = carry_rows(folded, FOLD_LIMB + 2)  # [23, B]
-        # --- final fold (scalar field form) -------------------------------
+        # --- final fold (no .at[] — mosaic has no scatter) ----------------
         if spec.kind == "scalar":
             h0, h1 = x[FOLD_LIMB], x[FOLD_LIMB + 1]
-            out = jnp.zeros((N_LIMBS, B), jnp.int32) + mod_ref[:][:, None]
-            out = out.at[:FOLD_LIMB].add(x[:FOLD_LIMB])
             tl = tail_ref[:]  # [11]
-            out = out.at[0:11].add(-h0[None, :] * tl[:, None])
-            out = out.at[1:12].add(-h1[None, :] * tl[:, None])
-            o_ref[:] = carry_rows(out, N_LIMBS)
+            base_rows = mod_ref[:][:, None] + jnp.concatenate(
+                [x[:FOLD_LIMB], zero_row], axis=0
+            )
+            sub0 = jnp.concatenate(
+                [h0[None, :] * tl[:, None], jnp.zeros((N_LIMBS - 11, B), jnp.int32)]
+            )
+            sub1 = jnp.concatenate(
+                [
+                    zero_row,
+                    h1[None, :] * tl[:, None],
+                    jnp.zeros((N_LIMBS - 12, B), jnp.int32),
+                ]
+            )
+            o_ref[:] = carry_rows(base_rows - sub0 - sub1, N_LIMBS)
         else:
             h = x[FOLD_LIMB] >> 3
             for j in range(FOLD_LIMB + 1, x.shape[0]):
                 h = h + (x[j] << (LIMB_BITS * (j - FOLD_LIMB) - 3))
-            out = jnp.zeros((N_LIMBS, B), jnp.int32)
-            out = out.at[:FOLD_LIMB].add(x[:FOLD_LIMB])
-            out = out.at[FOLD_LIMB].add(x[FOLD_LIMB] & 7)
-            out = out.at[0].add(19 * h)
+            out = jnp.concatenate(
+                [
+                    (x[0] + 19 * h)[None, :],
+                    x[1:FOLD_LIMB],
+                    (x[FOLD_LIMB] & 7)[None, :],
+                ],
+                axis=0,
+            )
             o_ref[:] = carry_rows(out, N_LIMBS)
 
     return kernel

@@ -70,3 +70,26 @@ def test_flatbuffers_lib_can_read_our_output(tmp_path):
         N.Uint64Flags, vars_tab.Vector(o)
     )
     assert first_id == 1 + shape.num_inputs
+
+
+def test_proof_serialization_roundtrip(tmp_path):
+    from otti_tpu.spartan import nizk, serial
+
+    shape, vars_, ios = toy_instance()
+    dev = shape.to_device()
+    proof = nizk.prove(dev, vars_, ios)
+    path = str(tmp_path / "p.proof.json")
+    serial.save(proof, path)
+    loaded = serial.load(path)
+    assert nizk.verify(dev, ios, loaded)
+    assert serial.dumps(loaded) == serial.dumps(proof)
+
+
+def test_zk_proof_serialization_roundtrip(tmp_path):
+    from otti_tpu.spartan import serial, zknizk
+
+    shape, vars_, ios = toy_instance()
+    dev = shape.to_device()
+    proof = zknizk.prove(dev, vars_, ios, seed=b"\x09" * 32)
+    loaded = serial.loads(serial.dumps(proof))
+    assert zknizk.verify(dev, ios, loaded)
