@@ -28,9 +28,15 @@ ENABLED = os.environ.get("OTTI_PALLAS", "0") == "1"
 
 
 def _mul_kernel_factory(spec: FieldSpec):
-    def kernel(a_ref, b_ref, fm_ref, mod_ref, tail_ref, o_ref):
-        # a, b: [N_LIMBS, B] limb-major blocks in VMEM; constants passed as
-        # inputs (pallas kernels cannot capture array constants)
+    # modulus constants baked in as static python ints (mosaic supports
+    # neither captured arrays nor int32 matmuls on the MXU)
+    fold_mat = [[int(v) for v in row] for row in spec.fold_matrix]
+    mod_limbs = [int(v) for v in spec.modulus_limbs]
+    tail_limbs = (
+        [int(v) for v in spec.tail_limbs] if spec.kind == "scalar" else []
+    )
+
+    def kernel(a_ref, b_ref, o_ref):
         a = a_ref[:]
         b = b_ref[:]
         B = a.shape[1]
@@ -59,31 +65,34 @@ def _mul_kernel_factory(spec: FieldSpec):
             return jnp.stack(rows)
 
         c = carry_rows(c, CONV_LIMBS + 1)  # [44, B]
-        # --- fold high limbs with the precomputed matrix ------------------
-        fm = fm_ref[:]  # [23, 22]
+        # --- fold high limbs: static-constant row combinations ------------
         high = c[FOLD_LIMB:]  # [23, B]
-        folded = jnp.einsum("hl,hb->lb", fm, high, preferred_element_type=jnp.int32)
+        n_high = CONV_LIMBS + 1 - FOLD_LIMB
         zero_row = jnp.zeros((1, B), jnp.int32)
-        folded = folded + jnp.concatenate([c[:FOLD_LIMB], zero_row], axis=0)
+        fold_rows = []
+        for l in range(N_LIMBS):
+            acc = c[l] if l < FOLD_LIMB else jnp.zeros((B,), jnp.int32)
+            for h in range(n_high):
+                w = fold_mat[h][l]
+                if w:
+                    acc = acc + w * high[h]
+            fold_rows.append(acc)
+        folded = jnp.stack(fold_rows)
         x = carry_rows(folded, FOLD_LIMB + 2)  # [23, B]
         # --- final fold (no .at[] — mosaic has no scatter) ----------------
         if spec.kind == "scalar":
             h0, h1 = x[FOLD_LIMB], x[FOLD_LIMB + 1]
-            tl = tail_ref[:]  # [11]
-            base_rows = mod_ref[:][:, None] + jnp.concatenate(
-                [x[:FOLD_LIMB], zero_row], axis=0
-            )
-            sub0 = jnp.concatenate(
-                [h0[None, :] * tl[:, None], jnp.zeros((N_LIMBS - 11, B), jnp.int32)]
-            )
-            sub1 = jnp.concatenate(
-                [
-                    zero_row,
-                    h1[None, :] * tl[:, None],
-                    jnp.zeros((N_LIMBS - 12, B), jnp.int32),
-                ]
-            )
-            o_ref[:] = carry_rows(base_rows - sub0 - sub1, N_LIMBS)
+            out_rows = []
+            for l in range(N_LIMBS):
+                acc = jnp.full((B,), mod_limbs[l], jnp.int32)
+                if l < FOLD_LIMB:
+                    acc = acc + x[l]
+                if l < 11:
+                    acc = acc - tail_limbs[l] * h0
+                if 1 <= l < 12:
+                    acc = acc - tail_limbs[l - 1] * h1
+                out_rows.append(acc)
+            o_ref[:] = carry_rows(jnp.stack(out_rows), N_LIMBS)
         else:
             h = x[FOLD_LIMB] >> 3
             for j in range(FOLD_LIMB + 1, x.shape[0]):
@@ -108,21 +117,14 @@ def _mul_call(spec: FieldSpec, batch: int, interpret: bool):
 
     kernel = _mul_kernel_factory(spec)
     shape = jax.ShapeDtypeStruct((N_LIMBS, batch), jnp.int32)
-    fm = jnp.asarray(spec.fold_matrix, jnp.int32)
-    if spec.kind == "scalar":
-        mod = jnp.asarray(spec.modulus_limbs, jnp.int32)
-        tail = jnp.asarray(spec.tail_limbs, jnp.int32)
-    else:
-        mod = jnp.zeros(N_LIMBS, jnp.int32)
-        tail = jnp.zeros(11, jnp.int32)
     return jax.jit(
         lambda a, b: pl.pallas_call(
             kernel,
             out_shape=shape,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(a, b, fm, mod, tail)
+        )(a, b)
     )
 
 

@@ -8,9 +8,9 @@ product argument are all MSMs.
 TPU-native design (no data-dependent branching, static shapes):
   * windows of ``w`` bits; per window the points are *sorted by digit*
     (cheap int32 argsort + gather) and bucket sums are formed with a
-    **segmented inclusive scan** whose combiner is the complete Edwards
-    addition — ``jax.lax.associative_scan`` gives the log-depth,
-    fully-batched reduction the VPU wants.
+    **segmented inclusive scan** (Hillis-Steele over a fori_loop) whose
+    combiner is the complete Edwards addition — log-depth, fully batched,
+    and only ONE point-add instantiation in the compiled graph.
   * bucket aggregation sum_b b*S_b is done bit-serially over the window:
     w masked tree-reductions + a w-step Horner double-and-add, again all
     batched adds.

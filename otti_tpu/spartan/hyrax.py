@@ -86,7 +86,7 @@ def verify_rlc(
         combined.append(msm_host(pts, [w % L_ORD for w in weights]))
     Lw = _eq_weights(point[:mu_rows])
     lhs = msm_host(combined, Lw)
-    G, _ = commitments.gen_points_host(len(u_ints), commitments_label(label))
+    G, _ = commitments.gen_points_host(len(u_ints), label)
     rhs = msm_host(list(G), list(u_ints))
     if not lhs.ristretto_eq(rhs):
         return False
@@ -94,10 +94,6 @@ def verify_rlc(
     ip = sum(u * r for u, r in zip(u_ints, Rw)) % L_ORD
     want = sum(w * v for w, v in zip(weights, claimed_vals)) % L_ORD
     return ip == want
-
-
-def commitments_label(label: bytes) -> bytes:
-    return label
 
 
 _eval_jit_cache: dict = {}

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import ops as F
-from ..field.fields import SCALAR, ints_to_limbs
+from ..field.fields import N_LIMBS as N_LIMB_COUNT, SCALAR, ints_to_limbs
 from . import mle
 
 
@@ -119,9 +119,15 @@ class R1CSShape:
         def pack(mat):
             if not mat:
                 mat = [(0, 0, 0)]
-            rows = np.asarray([e[0] for e in mat], np.int32)
-            cols = np.asarray([remap_col(e[1]) for e in mat], np.int32)
-            vals = ints_to_limbs([e[2] for e in mat])
+            nnz = len(mat)
+            nnz_pad = _next_pow2(nnz)  # shapes collide across instances ->
+            # the per-instance matvec/eval kernels compile once per size class
+            rows = np.zeros(nnz_pad, np.int32)
+            cols = np.zeros(nnz_pad, np.int32)
+            rows[:nnz] = [e[0] for e in mat]
+            cols[:nnz] = [remap_col(e[1]) for e in mat]
+            vals = np.zeros((nnz_pad, N_LIMB_COUNT), np.int32)
+            vals[:nnz] = ints_to_limbs([e[2] for e in mat])
             return (
                 jnp.asarray(rows),
                 jnp.asarray(cols),
@@ -168,58 +174,73 @@ class R1CSDevice:
     mats: tuple  # ((rows, cols, vals) for A, B, C)
     digest: bytes
 
-    def _matvec_impl(self, which: int, z: jax.Array) -> jax.Array:
-        rows, cols, vals = self.mats[which]
-        prods = F.mul(SCALAR, vals, z[cols])
-        acc = jax.ops.segment_sum(prods, rows, num_segments=self.num_cons)
-        return F.reduce_wide(SCALAR, acc)
-
     def matvec(self, which: int, z: jax.Array) -> jax.Array:
         """M @ z for M in {A,B,C}: [num_z, L] -> [num_cons, L]."""
         return self.matvecs(z)[which]
 
+    def _flat_mats(self):
+        return tuple(x for m in range(3) for x in self.mats[m])
+
     def matvecs(self, z: jax.Array) -> tuple:
-        """(Az, Bz, Cz) in one jitted call (cached on the instance)."""
-        if not hasattr(self, "_matvecs_jit"):
-            self._matvecs_jit = jax.jit(
-                lambda z: tuple(self._matvec_impl(m, z) for m in range(3))
-            )
-        return self._matvecs_jit(z)
+        """(Az, Bz, Cz) in one jitted call (kernels are module-level and
+        keyed by shape, so equal-size instances share the compilation)."""
+        return _matvecs_jit(self.num_cons)(z, *self._flat_mats())
 
     def matvec_T_weighted(self, weights: tuple, e_rx: jax.Array) -> jax.Array:
         """Phase-2 table: M(y) = sum_m w_m * sum_{(r,c,v) in M_m} e_rx[r]*v
         scattered into column y.  weights: 3 limb vectors [L]."""
-
-        def impl(weights, e_rx):
-            acc = None
-            for m in range(3):
-                rows, cols, vals = self.mats[m]
-                prods = F.mul(
-                    SCALAR, F.mul(SCALAR, vals, e_rx[rows]), weights[m][None, :]
-                )
-                part = jax.ops.segment_sum(prods, cols, num_segments=self.num_z)
-                part = F.reduce_wide(SCALAR, part)
-                acc = part if acc is None else F.add(SCALAR, acc, part)
-            return acc
-
-        if not hasattr(self, "_mtw_jit"):
-            self._mtw_jit = jax.jit(impl)
-        return self._mtw_jit(weights, e_rx)
+        return _mtw_jit(self.num_z)(weights, e_rx, *self._flat_mats())
 
     def eval_at(self, e_rx: jax.Array, e_ry: jax.Array) -> tuple:
         """( \tilde A(rx,ry), \tilde B, \tilde C ) given eq tables of rx, ry."""
+        return _eval_jit()(e_rx, e_ry, *self._flat_mats())
 
-        def impl(e_rx, e_ry):
-            outs = []
-            for m in range(3):
-                rows, cols, vals = self.mats[m]
-                prods = F.mul(SCALAR, F.mul(SCALAR, vals, e_rx[rows]), e_ry[cols])
-                outs.append(F.sum_reduce(SCALAR, prods, axis=0))
-            return tuple(outs)
 
-        if not hasattr(self, "_eval_jit"):
-            self._eval_jit = jax.jit(impl)
-        return self._eval_jit(e_rx, e_ry)
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _matvecs_jit(num_cons: int):
+    def impl(z, *flat):
+        outs = []
+        for m in range(3):
+            rows, cols, vals = flat[3 * m : 3 * m + 3]
+            prods = F.mul(SCALAR, vals, z[cols])
+            acc = jax.ops.segment_sum(prods, rows, num_segments=num_cons)
+            outs.append(F.reduce_wide(SCALAR, acc))
+        return tuple(outs)
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _mtw_jit(num_z: int):
+    def impl(weights, e_rx, *flat):
+        acc = None
+        for m in range(3):
+            rows, cols, vals = flat[3 * m : 3 * m + 3]
+            prods = F.mul(
+                SCALAR, F.mul(SCALAR, vals, e_rx[rows]), weights[m][None, :]
+            )
+            part = jax.ops.segment_sum(prods, cols, num_segments=num_z)
+            part = F.reduce_wide(SCALAR, part)
+            acc = part if acc is None else F.add(SCALAR, acc, part)
+        return acc
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_jit():
+    def impl(e_rx, e_ry, *flat):
+        outs = []
+        for m in range(3):
+            rows, cols, vals = flat[3 * m : 3 * m + 3]
+            prods = F.mul(SCALAR, F.mul(SCALAR, vals, e_rx[rows]), e_ry[cols])
+            outs.append(F.sum_reduce(SCALAR, prods, axis=0))
+        return tuple(outs)
+
+    return jax.jit(impl)
 
 
 def assemble_z(
