@@ -7,10 +7,13 @@ limb-major layout ([N_LIMBS, batch]: batch along the 128-wide lane axis,
 limbs along sublanes), eliminating the intermediate traffic — the
 speed-of-light shape for the VPU (see /opt/skills/guides/pallas_guide.md).
 
-Status: correctness-validated in interpreter mode (CPU tests) and smoke-
-tested on the axon TPU; opt-in via OTTI_PALLAS=1 because kernel compiles
-through the remote-compile tunnel are minutes each (cached thereafter).
-The XLA path remains the default.
+Status: correctness-validated in interpreter mode (CPU tests) AND on the
+real axon TPU (batch 4096: 15.9M mul/s).  The fused-op XLA path currently
+pipelines small/medium batches better (144M mul/s at the same size —
+per-pallas_call launch overhead dominates until batches reach millions),
+so XLA remains the default; this kernel is the substrate for a future
+fully-fused sumcheck-round kernel where VMEM residency pays off.
+Opt-in via OTTI_PALLAS=1.
 """
 
 from __future__ import annotations
