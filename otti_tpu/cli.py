@@ -312,6 +312,13 @@ def main(argv=None):
         help="zero-knowledge mode (blinded commitments + sigma proofs)",
     )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--verify-zkif",
+        nargs=2,
+        metavar=("CIRCUIT_ZKIF", "WITNESS_ZKIF"),
+        help="prove+verify an imported zkinterface instance (spzk parity: "
+        "run.py:58 'spzk verify --nizk <circuit> <inp> <wit>')",
+    )
     args = parser.parse_args(argv)
 
     from . import runtime
@@ -332,6 +339,17 @@ def main(argv=None):
         )
 
     ok = True
+    if args.verify_zkif:
+        from .io import zkif as zkif_mod
+
+        circuit, wit = args.verify_zkif
+        _stage(f"Importing {circuit}")
+        shape, vars_, inputs = zkif_mod.import_r1cs(circuit, wit)
+        timer = Timer()
+        ok = prove_and_verify(
+            shape, vars_, inputs, os.path.basename(circuit), timer, args.out, args.zk
+        )
+        return 0 if ok else 1
     if args.lp:
         if args.custom:
             files = [args.custom]
