@@ -1,0 +1,50 @@
+"""CLI surface tests (run.py-parity UX)."""
+
+import os
+
+import pytest
+
+from otti_tpu import cli
+from otti_tpu.io import zkif
+from tests.test_nizk import toy_instance
+
+AFIRO = "/root/reference/datasets/LP/MPS-small/afiro.mps"
+
+
+def test_cli_lp_custom_lower_only(tmp_path, capsys):
+    rc = cli.main(
+        ["--lp", "--custom", AFIRO, "--no-prove", "--cpu", "--out", str(tmp_path)]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "oracle optimum -464" in out
+    assert "lowered afiro.mps" in out
+
+
+def test_cli_verify_zkif_roundtrip(tmp_path, capsys):
+    shape, vars_, ios = toy_instance()
+    base = str(tmp_path / "toy")
+    zkif.export_r1cs(shape, vars_, ios, base)
+    rc = cli.main(
+        [
+            "--verify-zkif",
+            base + ".zkif",
+            base + ".wit.zkif",
+            "--cpu",
+            "--out",
+            str(tmp_path / "out"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Verification successful" in out
+    # artifacts persisted
+    assert os.path.exists(str(tmp_path / "out" / "toy.zkif.meta.json"))
+    assert os.path.exists(str(tmp_path / "out" / "toy.zkif.proof.json"))
+
+
+def test_cli_help_matrix(capsys):
+    rc = cli.main([])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "--lp" in out and "--sdp" in out and "--sgd" in out
