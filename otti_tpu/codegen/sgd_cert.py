@@ -20,8 +20,6 @@ for the largest PMLB sets, versus the reference's CirC blowup.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from .builder import Builder

@@ -89,8 +89,6 @@ class NativeStrobe:
 # ---------------------------------------------------------------------------
 
 def _pt_to_bytes(p) -> bytes:
-    from .refimpl.numeric import P
-
     return b"".join(v.to_bytes(32, "little") for v in (p.X, p.Y, p.Z, p.T))
 
 

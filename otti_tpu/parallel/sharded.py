@@ -20,11 +20,8 @@ tree-add (log k batched point additions).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..curve import edwards as E
 from ..field import ops as F

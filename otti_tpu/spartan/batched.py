@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import ops as F
-from ..field.fields import SCALAR, ints_to_limbs
+from ..field.fields import SCALAR
 from ..transcript.merlin import Transcript
 from . import commitments, mle, r1cs, sumcheck
 from .nizk import (

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..curve import edwards as E
 from ..field import ops as F
-from ..field.fields import SCALAR, ints_to_limbs
+from ..field.fields import ints_to_limbs
 from ..msm import pippenger
 from ..refimpl import numeric as ref
 from ..transcript.keccak import shake256

@@ -13,7 +13,6 @@ revealed.  The ZK flavor lives in zknizk.py (DotProductProof).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..field import ops as F
 from ..field.fields import SCALAR

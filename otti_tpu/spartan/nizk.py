@@ -23,12 +23,9 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..curve import edwards as E
 from ..field import ops as F
 from ..field.fields import SCALAR, ints_to_limbs, int_to_limbs
-from ..refimpl import numeric as ref
 from ..transcript.merlin import Transcript
 from . import commitments, mle, r1cs, sumcheck
 

@@ -26,7 +26,6 @@ import numpy as np
 
 from ..field import ops as F
 from ..field.fields import N_LIMBS as N_LIMB_COUNT, SCALAR, ints_to_limbs
-from . import mle
 
 
 def _next_pow2(n: int) -> int:

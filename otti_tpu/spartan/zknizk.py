@@ -23,12 +23,8 @@ from __future__ import annotations
 import dataclasses
 import os
 
-import jax
-
-from ..curve import edwards as E
 from ..field import ops as F
 from ..field.fields import SCALAR
-from ..msm import pippenger
 from ..refimpl import numeric as ref
 from ..transcript.merlin import Transcript
 from . import commitments, mle, r1cs, sigma, zksumcheck

@@ -11,8 +11,6 @@ Implemented from the FIPS-202 specification.
 
 from __future__ import annotations
 
-import numpy as np
-
 _MASK = (1 << 64) - 1
 
 
