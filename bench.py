@@ -35,7 +35,7 @@ def main():
     from otti_tpu.codegen import lp_cert
     from otti_tpu.io import mps
     from otti_tpu.oracle import lp_oracle
-    from otti_tpu.spartan import nizk
+    from otti_tpu.spartan import fused, nizk
 
     prob = mps.parse_mps(AFIRO)
     x, y, _ = lp_oracle.solve(prob)
@@ -50,13 +50,16 @@ def main():
     t_lower = time.time() - t0
 
     # cold run (includes compilation), then steady-state measurement
+    # prover = fused single-dispatch path (device Fiat-Shamir transcript);
+    # OTTI_BENCH_CLASSIC=1 measures the per-round host-transcript prover
+    prove_fn = nizk.prove if os.environ.get("OTTI_BENCH_CLASSIC") else fused.prove
     t0 = time.time()
-    proof = nizk.prove(dev, vars_, inputs)
+    proof = prove_fn(dev, vars_, inputs)
     ok_cold = nizk.verify(dev, inputs, proof)
     t_cold = time.time() - t0
 
     t0 = time.time()
-    proof = nizk.prove(dev, vars_, inputs)
+    proof = prove_fn(dev, vars_, inputs)
     t_prove = time.time() - t0
     t0 = time.time()
     ok = nizk.verify(dev, inputs, proof)

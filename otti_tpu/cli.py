@@ -64,8 +64,16 @@ def prove_and_verify(
 ):
     if zk:
         from .spartan import zknizk as prover
+
+        prove_fn = prover.prove
     else:
-        from .spartan import nizk as prover
+        from .spartan import fused, nizk as prover
+
+        # single-dispatch device-transcript prover (same wire format);
+        # OTTI_NO_FUSED=1 falls back to the per-round host-transcript path
+        prove_fn = (
+            prover.prove if os.environ.get("OTTI_NO_FUSED") else fused.prove
+        )
 
     with timer.time("to_device"):
         dev = shape.to_device()
@@ -77,7 +85,7 @@ def prove_and_verify(
 
     metrics.reset()
     with timer.time("prove"):
-        proof = prover.prove(dev, vars_, inputs)
+        proof = prove_fn(dev, vars_, inputs)
     prove_metrics = metrics.snapshot()
     if "prove" in timer.t and timer.t["prove"] > 0:
         prove_metrics["constraints_per_s"] = round(
