@@ -1,0 +1,428 @@
+"""Multi-chip single-dispatch Spartan prover (shard_map + device transcript).
+
+Combines the two headline designs into one program (SURVEY.md §2.3, §5.7):
+the fused device-resident-transcript prover (spartan/fused.py) sharded
+over a ``jax.sharding.Mesh`` "sp" axis, so N chips execute the WHOLE
+prover — commitment MSM, both sumcheck phases, opening — in one XLA
+dispatch with one psum of 2-3 scalars per sumcheck round riding ICI.
+
+Cyclic layout makes MSB-first binding shard-local
+-------------------------------------------------
+Spartan binds the top (MSB) variable each round: pairs (i, i + n/2).  A
+block distribution would put the pair halves on different chips every
+round.  Instead elements are laid out cyclically: logical index
+i = j*k + s lives on shard s = i mod k at local slot j = i div k.  Then
+i and i + n/2 share s (k | n/2), so every fold is local, and the bound
+table inherits the cyclic layout.  The eq/Az/Bz/Cz tables are *produced*
+directly in cyclic layout:
+
+  * eq:  i's low log2(k) bits are exactly s, so the local table is the
+    eq-table of the high mu-log2(k) variables times a per-shard scalar
+    computed from axis_index bits;
+  * Az/Bz/Cz: the COO nonzeros are pre-partitioned by row mod k (phase 1)
+    and col mod k (phase 2) on the host, so each shard's segment-sum
+    lands in its cyclic slice with NO communication.
+
+Once a phase's local table reaches one element, the k survivors are
+all_gather'ed (k field elements — trivial) and the last log2(k) rounds
+run replicated.  Round evaluations are psum'ed partial dot products, so
+every absorbed byte — and therefore every challenge and the final proof —
+is IDENTICAL to the single-chip fused prover (tests/test_fused_sharded.py).
+
+The per-round communication is one psum of 3 (or 2) field scalars: the
+ring/Ulysses-style decomposition of the 2^mu hypercube promised in
+SURVEY.md §5.7, with the transcript replicated on every chip instead of
+serializing on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..curve import ristretto
+from ..field import ops as F
+from ..field.fields import SCALAR, ints_to_limbs
+from ..spartan import commitments, mle, nizk, r1cs, sumcheck
+from ..spartan.fused import _POST_CHALLENGE, _ints
+from ..transcript.device import DeviceStrobe, DeviceTranscript, export_host_strobe
+from ..transcript.merlin import Transcript
+
+MOD = SCALAR.modulus
+
+
+# ---------------------------------------------------------------------------
+# Host-side R1CS re-partitioning (cyclic by row / by col)
+# ---------------------------------------------------------------------------
+
+_PART_CACHE: dict = {}
+
+
+def partition_r1cs(dev: r1cs.R1CSDevice, k: int):
+    """Two COO copies per matrix: grouped by row mod k (phase-1 matvec)
+    and col mod k (phase-2 transpose matvec), each shard's segment padded
+    to a common length with zero-value entries.  Returns flat arrays
+    shaped [k*m] / [k*m, L] for shard_map in_specs P("sp")."""
+    key = (dev.digest, k)
+    if key in _PART_CACHE:
+        return _PART_CACHE[key]
+
+    def _group(rows, cols, vals, by_col: bool):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals)
+        keyv = cols if by_col else rows
+        m = 0
+        groups = []
+        for s in range(k):
+            idx = np.nonzero(keyv % k == s)[0]
+            groups.append(idx)
+            m = max(m, len(idx))
+        m = max(m, 1)
+        R = np.zeros((k, m), np.int32)
+        C = np.zeros((k, m), np.int32)
+        V = np.zeros((k, m, vals.shape[-1]), np.int32)
+        for s, idx in enumerate(groups):
+            R[s, : len(idx)] = rows[idx] // k if not by_col else rows[idx]
+            C[s, : len(idx)] = cols[idx] if not by_col else cols[idx] // k
+            V[s, : len(idx)] = vals[idx]
+        return (
+            jnp.asarray(R.reshape(-1)),
+            jnp.asarray(C.reshape(-1)),
+            jnp.asarray(V.reshape(k * m, -1)),
+        )
+
+    by_row, by_col = [], []
+    for rows, cols, vals in dev.mats:
+        by_row.append(_group(rows, cols, vals, False))
+        by_col.append(_group(rows, cols, vals, True))
+    out = (tuple(by_row), tuple(by_col))
+    _PART_CACHE[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers (run inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _psum_canon(x):
+    """Canonical field value of a psum of semi-form local partials."""
+    return F.canon(SCALAR, F.reduce_wide(SCALAR, jax.lax.psum(x, "sp")))
+
+
+def _eq_shard_factor(tau_low, log_k: int):
+    """prod over low vars of (tau_v if bit else 1-tau_v) for this shard."""
+    s = jax.lax.axis_index("sp")
+    acc = F.ones(SCALAR)
+    for b in range(log_k):
+        # variable order: tau_low[v] binds bit (log_k-1-v) of s
+        bit = (s >> (log_k - 1 - b)) & 1
+        tv = tau_low[b]
+        acc = F.mul(
+            SCALAR,
+            acc,
+            F.select(bit == 1, tv, F.sub(SCALAR, F.ones(SCALAR), tv)),
+        )
+    return acc
+
+
+def _local_evals_raw(tables, ah, pts):
+    """Per-point local partial dots (semi form, pre-psum)."""
+    half = tables[0].shape[0] // 2
+    mask = jnp.arange(half) < ah
+    outs = []
+    for t in pts:
+        exts = [sumcheck._ext_masked(x, t, ah) for x in tables]
+        if len(tables) == 4:
+            eqt, at, bt, ct = exts
+            w = F.sub(SCALAR, F.mul(SCALAR, at, bt), ct)
+            w = F.select(mask, w, jnp.zeros_like(w))
+            outs.append(F.dot(SCALAR, eqt, w))
+        else:
+            mt, zt = exts
+            zt = F.select(mask, zt, jnp.zeros_like(zt))
+            outs.append(F.dot(SCALAR, mt, zt))
+    return outs
+
+
+def _sharded_phase(state, tables, n_local: int, log_k: int, label, degree):
+    """All mu rounds of one phase: scan over the shard-local rounds, then
+    all_gather + replicated tail.  Returns (state, final replicated
+    tables, stacked eval rows [mu, deg, L], stacked challenges [mu, L])."""
+    pts = (0, 2, 3) if degree == 3 else (0, 2)
+    labels = [label + b"/e%d" % p for p in pts]
+    local_rounds = max(n_local.bit_length() - 1, 0)  # log2(n_local)
+
+    def body(carry, _):
+        st, ah, tbls = carry
+        raw = _local_evals_raw(tbls, ah, pts)
+        evals = jnp.stack([_psum_canon(x) for x in raw])
+        t = DeviceTranscript(_strobe=DeviceStrobe.from_state(st, *_POST_CHALLENGE))
+        for i, lbl in enumerate(labels):
+            t.append_scalar_limbs(lbl, evals[i])
+        r = t.challenge_scalar_limbs(label + b"/r")
+        tbls = sumcheck._bind_tables(r, ah, tbls)
+        return (t.strobe.state, ah // 2, tbls), (evals, r)
+
+    carry = (state, jnp.int32(n_local // 2), tuple(tables))
+    (state, _, tables), (rounds_l, rs_l) = jax.lax.scan(
+        body, carry, None, length=local_rounds
+    )
+
+    # gather the k survivors (cyclic layout => shard s holds logical s)
+    gathered = [
+        jax.lax.all_gather(tbl[0], "sp", tiled=False) for tbl in tables
+    ]
+    rounds_t, rs_t = [], []
+    for _ in range(log_k):
+        evals = []
+        for t_pt in pts:
+            exts = [sumcheck._ext(x, t_pt) for x in gathered]
+            if degree == 3:
+                eqt, at, bt, ct = exts
+                w = F.sub(SCALAR, F.mul(SCALAR, at, bt), ct)
+                evals.append(F.canon(SCALAR, F.dot(SCALAR, eqt, w)))
+            else:
+                mt, zt = exts
+                evals.append(F.canon(SCALAR, F.dot(SCALAR, mt, zt)))
+        t = DeviceTranscript(
+            _strobe=DeviceStrobe.from_state(state, *_POST_CHALLENGE)
+        )
+        for i, lbl in enumerate(labels):
+            t.append_scalar_limbs(lbl, evals[i])
+        r = t.challenge_scalar_limbs(label + b"/r")
+        state = t.strobe.state
+        gathered = [mle.bind_top(x, r) for x in gathered]
+        rounds_t.append(jnp.stack(evals))
+        rs_t.append(r)
+
+    rounds = jnp.concatenate(
+        [rounds_l] + ([jnp.stack(rounds_t)] if rounds_t else []), axis=0
+    )
+    rs = jnp.concatenate([rs_l] + ([jnp.stack(rs_t)] if rs_t else []), axis=0)
+    return state, gathered, rounds, rs
+
+
+# ---------------------------------------------------------------------------
+# The fused sharded prover core
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _core(
+    num_cons: int,
+    num_z: int,
+    num_vars: int,
+    mu_rows: int,
+    mu_cols: int,
+    handoff: tuple,
+    k: int,
+    mesh_devs: tuple,
+):
+    mesh = Mesh(np.asarray(jax.devices())[list(mesh_devs)].reshape(k), ("sp",))
+    mu_x = (num_cons - 1).bit_length()
+    log_k = k.bit_length() - 1
+    nl1 = num_cons // k
+    nl2 = num_z // k
+    assert nl1 >= 1 and nl2 >= 2, "instance too small for this mesh"
+    n_rows = 1 << mu_rows
+    rows_local = max(n_rows // k, 1)
+
+    def kernel(state, z, row_parts, col_parts):
+        s = jax.lax.axis_index("sp")
+
+        # ---- commitment: block-sharded Hyrax rows ---------------------------
+        W = z[:num_vars].reshape(n_rows, 1 << mu_cols, -1)
+        if n_rows >= k:
+            W_loc = jax.lax.dynamic_slice_in_dim(W, s * rows_local, rows_local, 0)
+            comm = commitments.commit_rows(
+                W_loc, [0] * rows_local, nizk.GENS_LABEL
+            )
+            enc_loc = ristretto.encode(comm)  # [rows_local, 32]
+            enc = jax.lax.all_gather(enc_loc, "sp", tiled=True)  # [n_rows, 32]
+        else:
+            comm = commitments.commit_rows(W, [0] * n_rows, nizk.GENS_LABEL)
+            enc = ristretto.encode(comm)
+
+        t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
+        for i in range(n_rows):
+            t.append_message(b"poly_commitment", enc[i])
+
+        # ---- phase 1 --------------------------------------------------------
+        tau = t.challenge_vector_limbs(b"challenge_tau", mu_x)
+        eq_hi = mle._eq_table_impl(tau[: mu_x - log_k]) if mu_x > log_k else F.ones(
+            SCALAR, (1,)
+        )
+        eq_loc = F.mul(
+            SCALAR, eq_hi, _eq_shard_factor(tau[mu_x - log_k :], log_k)[None, :]
+        )
+
+        azbzcz = []
+        for rows_l, cols_l, vals_l in row_parts:
+            prods = F.mul(SCALAR, vals_l, z[cols_l])
+            acc = jax.ops.segment_sum(prods, rows_l, num_segments=nl1)
+            azbzcz.append(F.reduce_wide(SCALAR, acc))
+        az, bz, cz = azbzcz
+
+        state1, tbl1, rounds1, rxs = _sharded_phase(
+            t.strobe.state, (eq_loc, az, bz, cz), nl1, log_k, b"sc1", 3
+        )
+        vA = F.canon(SCALAR, tbl1[1][0])
+        vB = F.canon(SCALAR, tbl1[2][0])
+        vC = F.canon(SCALAR, tbl1[3][0])
+
+        t = DeviceTranscript(
+            _strobe=DeviceStrobe.from_state(state1, *_POST_CHALLENGE)
+        )
+        t.append_scalar_limbs(b"vA", vA)
+        t.append_scalar_limbs(b"vB", vB)
+        t.append_scalar_limbs(b"vC", vC)
+
+        # ---- phase 2 --------------------------------------------------------
+        r_a = t.challenge_scalar_limbs(b"challenge_Az")
+        r_b = t.challenge_scalar_limbs(b"challenge_Bz")
+        r_c = t.challenge_scalar_limbs(b"challenge_Cz")
+        e_rx = mle._eq_table_impl(rxs)  # replicated [num_cons, L]
+        weights = (r_a, r_b, r_c)
+        m_loc = None
+        for w_m, (rows_l, cols_l, vals_l) in zip(weights, col_parts):
+            prods = F.mul(
+                SCALAR, F.mul(SCALAR, vals_l, e_rx[rows_l]), w_m[None, :]
+            )
+            part = jax.ops.segment_sum(prods, cols_l, num_segments=nl2)
+            part = F.reduce_wide(SCALAR, part)
+            m_loc = part if m_loc is None else F.add(SCALAR, m_loc, part)
+
+        z_loc = z[jnp.arange(nl2) * k + s]  # cyclic slice of replicated z
+        state2, _, rounds2, rys = _sharded_phase(
+            t.strobe.state, (m_loc, z_loc), nl2, log_k, b"sc2", 2
+        )
+
+        # ---- opening (replicated; O(num_vars) work per chip) ----------------
+        t = DeviceTranscript(
+            _strobe=DeviceStrobe.from_state(state2, *_POST_CHALLENGE)
+        )
+        r_w = rys[1:]
+        if mu_rows:
+            eq_L = mle._eq_table_impl(r_w[:mu_rows])
+        else:
+            eq_L = F.ones(SCALAR, (1,))
+        u = F.canon(
+            SCALAR,
+            F.sum_reduce(SCALAR, F.mul(SCALAR, eq_L[:, None, :], W), axis=0),
+        )
+        eq_w = mle._eq_table_impl(r_w)
+        claim_w = F.canon(SCALAR, F.dot(SCALAR, eq_w, z[:num_vars]))
+        for c in range(1 << mu_cols):
+            t.append_scalar_limbs(b"eval_u", u[c])
+        t.append_scalar_limbs(b"claim_w", claim_w)
+
+        return enc, rounds1, jnp.stack([vA, vB, vC]), rounds2, u, claim_w
+
+    part_spec = (P("sp"), P("sp"), P("sp", None))
+    fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P(None, None), (part_spec,) * 3, (part_spec,) * 3),
+        out_specs=(P(), P(None, None, None), P(None, None), P(None, None, None), P(None, None), P(None)),
+        check_vma=False,
+    )
+    return jax.jit(fn), mesh
+
+
+def prove(
+    dev: r1cs.R1CSDevice,
+    vars_ints: list,
+    inputs_ints: list,
+    k: int = None,
+    proto: bytes = nizk.PROTO,
+) -> nizk.NIZKProof:
+    """Multi-chip fused prover: byte-identical to spartan.fused.prove."""
+    k = k or len(jax.devices())
+    t = Transcript(proto)
+    t.append_message(b"R1CS", dev.digest)
+    t.append_u64(b"num_inputs", len(inputs_ints))
+    for x in inputs_ints:
+        t.append_scalar(b"input", nizk._sb(x))
+
+    nvp = dev.num_vars
+    mu_rows, mu_cols = nizk._hyrax_dims(nvp)
+    vars_padded = list(vars_ints) + [0] * (nvp - len(vars_ints))
+    st_np, pos, pos_begin, cur_flags = export_host_strobe(t.strobe)
+    z = r1cs.assemble_z(
+        nizk._dev_vec(vars_padded),
+        nizk._dev_vec(inputs_ints) if inputs_ints else None,
+        nvp,
+    )
+    row_parts, col_parts = partition_r1cs(dev, k)
+    core, mesh = _core(
+        dev.num_cons,
+        dev.num_z,
+        nvp,
+        mu_rows,
+        mu_cols,
+        (pos, pos_begin, cur_flags),
+        k,
+        tuple(range(k)),
+    )
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
+        out = core(jnp.asarray(st_np), z, row_parts, col_parts)
+        enc_np, r1_np, vabc_np, r2_np, u_np, cw_np = jax.device_get(out)
+
+    # ---- host transcript replay / proof assembly (same as fused.prove) -----
+    mu_x = (dev.num_cons - 1).bit_length()
+    comm_enc = [bytes(row.tobytes()) for row in np.asarray(enc_np)]
+    for enc in comm_enc:
+        t.append_point(b"poly_commitment", enc)
+    r1_ints = _ints(np.asarray(r1_np))
+    vA, vB, vC = _ints(np.asarray(vabc_np))
+    r2_ints = _ints(np.asarray(r2_np))
+    u_ints = _ints(np.asarray(u_np))
+    claim_w = _ints(np.asarray(cw_np))
+
+    t.challenge_vector(b"challenge_tau", mu_x)
+    e = 0
+    p1 = []
+    for e0, e2, e3 in r1_ints:
+        e1 = (e - e0) % MOD
+        t.append_scalar(b"sc1/e0", nizk._sb(e0))
+        t.append_scalar(b"sc1/e2", nizk._sb(e2))
+        t.append_scalar(b"sc1/e3", nizk._sb(e3))
+        r = t.challenge_scalar(b"sc1/r")
+        p1.append([e0, e1, e2, e3])
+        e = sumcheck.lagrange_eval([e0, e1, e2, e3], r)
+    t.append_scalar(b"vA", nizk._sb(vA))
+    t.append_scalar(b"vB", nizk._sb(vB))
+    t.append_scalar(b"vC", nizk._sb(vC))
+    r_a = t.challenge_scalar(b"challenge_Az")
+    r_b = t.challenge_scalar(b"challenge_Bz")
+    r_c = t.challenge_scalar(b"challenge_Cz")
+    e = (r_a * vA + r_b * vB + r_c * vC) % MOD
+    p2 = []
+    for e0, e2 in r2_ints:
+        e1 = (e - e0) % MOD
+        t.append_scalar(b"sc2/e0", nizk._sb(e0))
+        t.append_scalar(b"sc2/e2", nizk._sb(e2))
+        r = t.challenge_scalar(b"sc2/r")
+        p2.append([e0, e1, e2])
+        e = sumcheck.lagrange_eval([e0, e1, e2], r)
+
+    return nizk.NIZKProof(
+        comm_vars=comm_enc,
+        phase1_polys=p1,
+        claims_abc=(vA, vB, vC),
+        phase2_polys=p2,
+        eval_u=u_ints,
+        claim_w=claim_w,
+    )
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _null():
+    yield

@@ -18,9 +18,69 @@ _CACHE_DIR = os.environ.get(
 )
 
 
-def enable_compile_cache():
+def _host_tag() -> str:
+    """Fingerprint of the host CPU feature set.
+
+    XLA:CPU persistent-cache entries embed AOT machine code specialized to
+    the compiling host's features; loading an entry produced on a machine
+    with a different feature set SIGILLs/SIGSEGVs (observed when the repo
+    moves between VMs).  The cache dir is tagged and wiped on mismatch.
+    """
+    import hashlib
+    import platform
+
+    flags = ""
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover
+        pass
+    return hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:16]
+
+
+def _validate_cache_dir(d: str):
+    import shutil
+
+    tag_path = os.path.join(d, "HOST_TAG")
+    cur = _host_tag()
+    try:
+        os.makedirs(d, exist_ok=True)
+        old = None
+        if os.path.exists(tag_path):
+            with open(tag_path) as f:
+                old = f.read().strip()
+        if old != cur:
+            for name in os.listdir(d):
+                if name == "HOST_TAG":
+                    continue
+                p = os.path.join(d, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+            with open(tag_path, "w") as f:
+                f.write(cur)
+    except OSError:  # pragma: no cover
+        pass
+
+
+_cache_validated = False
+
+
+def enable_compile_cache():
+    global _cache_validated
+    try:
+        d = os.path.abspath(_CACHE_DIR)
+        if not _cache_validated:
+            _validate_cache_dir(d)
+            _cache_validated = True
+        jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - older jax

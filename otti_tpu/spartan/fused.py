@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..curve import ristretto
 from ..field import ops as F
 from ..field.fields import SCALAR, limbs_to_int
 from ..transcript.device import DeviceStrobe, DeviceTranscript, export_host_strobe
@@ -96,6 +97,15 @@ def _core(
     def run(state, z, *flat):
         t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
 
+        # ---- witness commitment (Hyrax rows, fixed-base MSM) ---------------
+        W = z[:num_vars].reshape(1 << mu_rows, 1 << mu_cols, -1)
+        comm = commitments.commit_rows(
+            W, [0] * (1 << mu_rows), nizk.GENS_LABEL
+        )
+        enc = ristretto.encode(comm)  # [rows, 32] uint8
+        for i in range(1 << mu_rows):
+            t.append_message(b"poly_commitment", enc[i])
+
         # ---- phase 1 ------------------------------------------------------
         tau = t.challenge_vector_limbs(b"challenge_tau", mu_x)
         eq = mle._eq_table_impl(tau)
@@ -150,7 +160,7 @@ def _core(
             t.append_scalar_limbs(b"eval_u", u[c])
         t.append_scalar_limbs(b"claim_w", claim_w)
 
-        return rounds1, jnp.stack([vA, vB, vC]), rounds2, u, claim_w
+        return enc, rounds1, jnp.stack([vA, vB, vC]), rounds2, u, claim_w
 
     return jax.jit(run)
 
@@ -163,9 +173,10 @@ def prove(
 ) -> nizk.NIZKProof:
     """Drop-in replacement for nizk.prove producing byte-identical proofs.
 
-    Host work: transcript init + commitment absorption (one device round
-    trip for the MSM), then ONE fused device call + ONE fetch, then a
-    host-side transcript replay to assemble the proof object.
+    The ENTIRE prover — Hyrax commitment MSM, ristretto compression, both
+    sumcheck phases, and the opening — is ONE device dispatch + ONE fetch;
+    the host only initializes the transcript and replays it afterwards to
+    assemble the proof object.
     """
     from .. import metrics
 
@@ -177,19 +188,11 @@ def prove(
 
     nvp = dev.num_vars
     metrics.add("constraints", dev.num_cons)
+    metrics.add("msm_points", nvp)
     mu_rows, mu_cols = nizk._hyrax_dims(nvp)
     vars_padded = list(vars_ints) + [0] * (nvp - len(vars_ints))
-    W = nizk._dev_vec(vars_padded).reshape(1 << mu_rows, 1 << mu_cols, -1)
-    with metrics.timed("commit"):
-        comm_rows = commitments.commit_rows(
-            W, [0] * (1 << mu_rows), nizk.GENS_LABEL
-        )
-        comm_enc = commitments.encode_points(comm_rows)
-    metrics.add("msm_points", nvp)
-    for enc in comm_enc:
-        t.append_point(b"poly_commitment", enc)
 
-    # ---- fused device call -------------------------------------------------
+    # ---- single fused device call (commit + both phases + opening) ---------
     st_np, pos, pos_begin, cur_flags = export_host_strobe(t.strobe)
     z = r1cs.assemble_z(
         nizk._dev_vec(vars_padded),
@@ -199,14 +202,17 @@ def prove(
     core = _core(
         dev.num_cons, dev.num_z, nvp, mu_rows, mu_cols, (pos, pos_begin, cur_flags)
     )
-    with metrics.timed("fused_sumcheck"):
+    with metrics.timed("fused_prove"):
         out = core(jnp.asarray(st_np), z, *dev._flat_mats())
-        r1_np, vabc_np, r2_np, u_np, cw_np = jax.device_get(out)
+        enc_np, r1_np, vabc_np, r2_np, u_np, cw_np = jax.device_get(out)
 
     mu_x = (dev.num_cons - 1).bit_length()
     metrics.add("sumcheck_rounds", mu_x)
 
     # ---- host transcript replay / proof assembly ---------------------------
+    comm_enc = [bytes(row.tobytes()) for row in np.asarray(enc_np)]
+    for enc in comm_enc:
+        t.append_point(b"poly_commitment", enc)
     r1_ints = _ints(np.asarray(r1_np))
     vA, vB, vC = _ints(np.asarray(vabc_np))
     r2_ints = _ints(np.asarray(r2_np))

@@ -1,0 +1,53 @@
+"""Multi-chip fused prover vs single-chip: proofs must be byte-identical.
+
+The cyclic layout + psum'd round evals mean every absorbed transcript byte
+matches the single-chip fused prover, so the two must emit equal proofs.
+Runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import random
+
+import jax
+import pytest
+
+from otti_tpu.field.fields import SCALAR
+from otti_tpu.parallel import fused_prover
+from otti_tpu.spartan import fused, nizk
+from otti_tpu.spartan.r1cs import R1CSShape
+
+MOD = SCALAR.modulus
+
+
+def _random_r1cs(n_cons, n_vars, n_inputs, seed):
+    r = random.Random(seed)
+    zvars = [r.randrange(MOD) for _ in range(n_vars)]
+    inputs = [r.randrange(1, 1000) for _ in range(n_inputs)]
+    full = zvars + [1] + inputs
+    A, B, C = [], [], []
+    for row in range(n_cons):
+        ca, cb = r.randrange(len(full)), r.randrange(len(full))
+        va, vb = r.randrange(1, 99), r.randrange(1, 99)
+        A.append((row, ca, va))
+        B.append((row, cb, vb))
+        C.append((row, n_vars, va * full[ca] % MOD * (vb * full[cb] % MOD) % MOD))
+    return R1CSShape.from_logical(n_cons, n_vars, n_inputs, A, B, C), zvars, inputs
+
+
+@pytest.mark.parametrize("k", [2, 8])
+@pytest.mark.parametrize("n_cons,n_vars,n_inputs", [(64, 32, 3), (130, 90, 5)])
+def test_sharded_matches_single_chip(k, n_cons, n_vars, n_inputs):
+    if len(jax.devices()) < k:
+        pytest.skip("needs %d devices" % k)
+    shape, zvars, inputs = _random_r1cs(n_cons, n_vars, n_inputs, n_cons + k)
+    dev = shape.to_device()
+
+    p1 = fused.prove(dev, zvars, inputs)
+    pk = fused_prover.prove(dev, zvars, inputs, k=k)
+
+    assert pk.comm_vars == p1.comm_vars
+    assert pk.phase1_polys == p1.phase1_polys
+    assert pk.claims_abc == p1.claims_abc
+    assert pk.phase2_polys == p1.phase2_polys
+    assert pk.eval_u == p1.eval_u
+    assert pk.claim_w == p1.claim_w
+    assert nizk.verify(dev, inputs, pk)
