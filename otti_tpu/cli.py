@@ -63,9 +63,13 @@ def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False
 ):
     if zk:
-        from .spartan import zknizk as prover
+        from .spartan import zkfused, zknizk as prover
 
-        prove_fn = prover.prove
+        # single-dispatch device-transcript ZK prover (same wire format);
+        # OTTI_NO_FUSED=1 falls back to the per-round host-transcript path
+        prove_fn = (
+            prover.prove if os.environ.get("OTTI_NO_FUSED") else zkfused.prove
+        )
     else:
         from .spartan import fused, nizk as prover
 

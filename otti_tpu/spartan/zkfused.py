@@ -1,0 +1,643 @@
+"""Single-dispatch zero-knowledge Spartan prover (device Fiat-Shamir).
+
+zknizk.prove threads the Merlin transcript through every ZK sumcheck
+round on the host, paying one device->host sync per round plus host
+sigma-protocol group ops — ~3 s per small-LP proof through the axon
+tunnel.  This module compiles the ENTIRE ZK argument (blinded Hyrax
+commit, both ZK sumchecks with their per-round Pedersen commitments and
+dot-product proofs, the product/equality sigma proofs, and the blinded
+opening) into ONE XLA program, exactly like spartan/fused.py does for the
+plain NIZK: the host draws the blinds, submits a single fused call, and
+re-assembles the proof from a single fetch.
+
+Correctness anchor: with the same blind seed, the proof is byte-identical
+to zknizk.prove (tests/test_zkfused.py) and verifies with zknizk.verify —
+the wire format does not change, only where it is computed.
+
+The per-round commitments use the fixed-base comb tables of the shared
+generators (msm/pippenger.py fixed_base_tables), so each lax.scan round
+costs gathers + a balanced add tree and no doublings; the only variable-
+base scalar-mul is the single Cx*b3 term of the product proof.
+
+Reference roles covered: Spartan's zk sumcheck + nizk sigma toolbox
+(SURVEY.md §3.5, §2.2 "Spartan" row), fused per §5.8's host/device
+boundary discipline.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import edwards as E
+from ..curve import ristretto
+from ..field import ops as F
+from ..field.fields import SCALAR, ints_to_limbs, limbs_to_int
+from ..msm import pippenger
+from ..transcript.device import DeviceStrobe, DeviceTranscript, export_host_strobe
+from ..transcript.merlin import FLAG_A, FLAG_C, FLAG_I, Transcript
+from . import mle, r1cs, sumcheck
+from .nizk import GENS_LABEL, _hyrax_dims, _sb
+from .pedersen_host import BlindSource
+from .sigma import DotProductProof, EqualityProof, ProductProof
+from .zknizk import PROTO, ZKNIZKProof
+from .zksumcheck import ZKSumcheckProof
+
+MOD = SCALAR.modulus
+
+# sponge offsets at the start of every in-phase round (see fused.py)
+_POST_CHALLENGE = (64, 0, FLAG_I | FLAG_A | FLAG_C)
+
+
+def _dev(x: int) -> jax.Array:
+    return jnp.asarray(ints_to_limbs([x % MOD]))[0]
+
+def _devs(xs) -> jax.Array:
+    return jnp.asarray(ints_to_limbs([x % MOD for x in xs]))
+
+
+def _commit(vals_then_blind: list):
+    """sum_i v_i * G_i + blind * H as a device point (fixed-base comb).
+
+    ``vals_then_blind`` = [v_0, .., v_{k-1}, blind] limb vectors; generator
+    prefix G_0..G_{k-1} matches pedersen_host.Gens (same label derivation).
+    """
+    mat = jnp.stack(vals_then_blind)[None]  # [1, k+1, L]
+    out = pippenger.msm_fixed_base(
+        len(vals_then_blind) - 1, GENS_LABEL, mat, with_blind=True
+    )
+    return jax.tree.map(lambda a: a[0], out)
+
+
+def _commit_rows_blinded(W: jax.Array, row_blinds: jax.Array):
+    """Blinded Hyrax row commitments [rows, cols(,L)] + [rows, L] -> points.
+
+    Same chunked fixed-base comb as commitments.commit_rows but with
+    *traced* blinds (the host helper takes python ints)."""
+    rows, cols = W.shape[0], W.shape[1]
+    mat = jnp.concatenate([W, row_blinds[:, None, :]], axis=1)
+    n_win = -(-pippenger.SCALAR_BITS // pippenger.FIXED_BASE_WINDOW)
+    blk = max(1, (1 << 18) // max(1, (cols + 1) * n_win))
+    outs = []
+    for s in range(0, rows, blk):
+        chunk = mat[s : min(s + blk, rows)]
+        outs.append(
+            pippenger.msm_fixed_base(cols, GENS_LABEL, chunk, with_blind=True)
+        )
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _vandermonde_inv_limbs(degree: int):
+    """M with coeffs = M @ evals for p(i) = evals[i], i = 0..degree.
+
+    Exact inverse of the Vandermonde matrix mod ell, as limb constants."""
+    d = degree
+    # build V[i][j] = i^j, invert mod L by Gauss-Jordan over the field
+    V = [[pow(i, j, MOD) for j in range(d + 1)] for i in range(d + 1)]
+    I = [[1 if i == j else 0 for j in range(d + 1)] for i in range(d + 1)]
+    for col in range(d + 1):
+        piv = next(r for r in range(col, d + 1) if V[r][col] % MOD)
+        V[col], V[piv] = V[piv], V[col]
+        I[col], I[piv] = I[piv], I[col]
+        inv_p = pow(V[col][col], MOD - 2, MOD)
+        V[col] = [v * inv_p % MOD for v in V[col]]
+        I[col] = [v * inv_p % MOD for v in I[col]]
+        for r in range(d + 1):
+            if r != col and V[r][col]:
+                f = V[r][col]
+                V[r] = [(v - f * w) % MOD for v, w in zip(V[r], V[col])]
+                I[r] = [(v - f * w) % MOD for v, w in zip(I[r], I[col])]
+    return np.asarray(
+        [[np.asarray(ints_to_limbs([I[i][j]]))[0] for j in range(d + 1)]
+         for i in range(d + 1)]
+    )
+
+
+def _zk_round_scan(label: bytes, degree: int):
+    """lax.scan body for one ZK sumcheck phase.
+
+    carry = (sponge state, active_half, tables, e, be); xs = per-round
+    blinds (b_poly, b_next, d[degree+1], r_delta, r_beta) limb arrays.
+    Mirrors zksumcheck.prove_zk + sigma.DotProductProof.prove message for
+    message."""
+    Minv = _vandermonde_inv_limbs(degree)
+
+    def body(carry, xs):
+        state, ah, tables, e, be = carry
+        b_poly, b_next, d_vec, r_delta, r_beta = xs
+        if degree == 3:
+            evs = sumcheck._cubic_evals(*tables, ah)
+            ev = [evs[0], None, evs[1], evs[2]]
+        else:
+            evs = sumcheck._quad_evals(*tables, ah)
+            ev = [evs[0], None, evs[1]]
+        ev[1] = F.canon(SCALAR, F.sub(SCALAR, e, ev[0]))
+        coeffs = []
+        for i in range(degree + 1):
+            acc = F.mul(SCALAR, jnp.asarray(Minv[i][0]), ev[0])
+            for j in range(1, degree + 1):
+                acc = F.add(
+                    SCALAR, acc, F.mul(SCALAR, jnp.asarray(Minv[i][j]), ev[j])
+                )
+            coeffs.append(acc)
+
+        t = DeviceTranscript(
+            _strobe=DeviceStrobe.from_state(state, *_POST_CHALLENGE)
+        )
+        C_poly = _commit(coeffs + [b_poly])
+        enc_poly = ristretto.encode(C_poly)
+        t.append_message(label + b"/comm_poly", enc_poly)
+        r = t.challenge_scalar_limbs(label + b"/r")
+
+        e_next = coeffs[-1]  # Horner
+        for c in reversed(coeffs[:-1]):
+            e_next = F.add(SCALAR, c, F.mul(SCALAR, r, e_next))
+        C_next = _commit([e_next, b_next])
+        enc_next = ristretto.encode(C_next)
+        t.append_message(label + b"/comm_eval", enc_next)
+        w0 = t.challenge_scalar_limbs(label + b"/w0")
+        w1 = t.challenge_scalar_limbs(label + b"/w1")
+
+        # weight vector a = w0*(2,1,..,1) + w1*(1, r, r^2, ...)
+        a = []
+        r_pow = F.ones(SCALAR, ())
+        for k in range(degree + 1):
+            base = F.add(SCALAR, w0, w0) if k == 0 else w0
+            a.append(F.canon(SCALAR, F.add(SCALAR, base, F.mul(SCALAR, w1, r_pow))))
+            if k < degree:
+                r_pow = F.mul(SCALAR, r_pow, r)
+
+        # DotProductProof: ties committed coeffs to committed claims
+        t.append_message(b"protocol-name", b"dot product proof")
+        t.append_message(b"Cx", enc_poly)
+        y = F.add(SCALAR, F.mul(SCALAR, w0, e), F.mul(SCALAR, w1, e_next))
+        ry_b = F.add(SCALAR, F.mul(SCALAR, w0, be), F.mul(SCALAR, w1, b_next))
+        C_y = _commit([y, ry_b])
+        t.append_message(b"Cy", ristretto.encode(C_y))
+        for ak in a:
+            t.append_scalar_limbs(b"a", ak)
+        delta = _commit([d_vec[k] for k in range(degree + 1)] + [r_delta])
+        enc_delta = ristretto.encode(delta)
+        dy = F.dot(SCALAR, d_vec, jnp.stack(a))
+        beta = _commit([dy, r_beta])
+        enc_beta = ristretto.encode(beta)
+        t.append_message(b"delta", enc_delta)
+        t.append_message(b"beta", enc_beta)
+        c = t.challenge_scalar_limbs(b"c")
+
+        z = jnp.stack(
+            [
+                F.canon(
+                    SCALAR,
+                    F.add(SCALAR, F.mul(SCALAR, c, coeffs[k]), d_vec[k]),
+                )
+                for k in range(degree + 1)
+            ]
+        )
+        z_delta = F.canon(
+            SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_poly), r_delta)
+        )
+        z_beta = F.canon(SCALAR, F.add(SCALAR, F.mul(SCALAR, c, ry_b), r_beta))
+
+        tables = sumcheck._bind_tables(r, ah, tables)
+        encs = jnp.stack([enc_poly, enc_next, enc_delta, enc_beta])  # [4, 32]
+        out = (encs, z, jnp.stack([z_delta, z_beta]), r)
+        return (t.strobe.state, ah // 2, tables, e_next, b_next), out
+
+    return body
+
+
+def _prod_eq(vals: jax.Array) -> jax.Array:
+    """prod_i (a_i*b_i + (1-a_i)(1-b_i)) term array [mu, L] -> scalar."""
+    acc = vals[0]
+    for i in range(1, vals.shape[0]):
+        acc = F.mul(SCALAR, acc, vals[i])
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _core(
+    num_cons: int,
+    num_z: int,
+    num_vars: int,
+    mu_rows: int,
+    mu_cols: int,
+    handoff: tuple,
+):
+    mu_x = (num_cons - 1).bit_length()
+    mu_y = (num_z - 1).bit_length()
+    one = F.ones(SCALAR, ())
+
+    def run(
+        state,
+        z,
+        row_blinds,  # [rows, L]
+        sc1_blinds,  # (b_poly [mx,L], b_next [mx,L], d [mx,4,L], r_delta, r_beta)
+        abc_blinds,  # [4, L]  (bA, bB, bC, b_ab)
+        prod_blinds,  # [5, L]
+        eq1_a,  # [L]
+        sc2_blinds,
+        open_blinds,  # (d_open [cols, L], b_w [L], r_delta [L], r_beta [L])
+        eq2_a,  # [L]
+        *flat,
+    ):
+        t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
+
+        # ---- blinded witness commitment -----------------------------------
+        W = z[:num_vars].reshape(1 << mu_rows, 1 << mu_cols, -1)
+        comm = _commit_rows_blinded(W, row_blinds)
+        enc_rows = ristretto.encode(comm)  # [rows, 32]
+        for i in range(1 << mu_rows):
+            t.append_message(b"poly_commitment", enc_rows[i])
+
+        # ---- phase 1 (ZK) -------------------------------------------------
+        tau = t.challenge_vector_limbs(b"challenge_tau", mu_x)
+        eq = mle._eq_table_impl(tau)
+        az, bz, cz = r1cs._matvecs_jit(num_cons)(z, *flat)
+        carry = (
+            t.strobe.state,
+            jnp.int32(num_cons // 2),
+            (eq, az, bz, cz),
+            F.zeros(()),
+            F.zeros(()),
+        )
+        carry, (sc1_encs, sc1_z, sc1_zdb, rxs) = jax.lax.scan(
+            _zk_round_scan(b"sc1", 3), carry, sc1_blinds, length=mu_x
+        )
+        state1, _, tables1, e1, be1 = carry
+        vA = F.canon(SCALAR, tables1[1][0])
+        vB = F.canon(SCALAR, tables1[2][0])
+        vC = F.canon(SCALAR, tables1[3][0])
+
+        # ---- claim commitments + product + equality sigma proofs ----------
+        t = DeviceTranscript(
+            _strobe=DeviceStrobe.from_state(state1, *_POST_CHALLENGE)
+        )
+        bA, bB, bC, b_ab = (abc_blinds[i] for i in range(4))
+        CA = _commit([vA, bA])
+        CB = _commit([vB, bB])
+        CC = _commit([vC, bC])
+        enc_CA, enc_CB, enc_CC = (
+            ristretto.encode(P) for P in (CA, CB, CC)
+        )
+        t.append_message(b"CA", enc_CA)
+        t.append_message(b"CB", enc_CB)
+        t.append_message(b"CC", enc_CC)
+
+        # ProductProof(vA, bA, vB, bB, b_ab)  [sigma.py order]
+        t.append_message(b"protocol-name", b"product proof")
+        v_ab = F.mul(SCALAR, vA, vB)
+        C_ab = _commit([v_ab, b_ab])
+        enc_Cab = ristretto.encode(C_ab)
+        t.append_message(b"Cx", enc_CA)
+        t.append_message(b"Cy", enc_CB)
+        t.append_message(b"Cz", enc_Cab)
+        b1, b2, b3, b4, b5 = (prod_blinds[i] for i in range(5))
+        alpha_p = _commit([b1, b2])
+        beta_p = _commit([b3, b4])
+        delta_p = E.add(E.scalar_mul(CA, b3), _commit([F.zeros(()), b5]))
+        enc_alpha_p = ristretto.encode(alpha_p)
+        enc_beta_p = ristretto.encode(beta_p)
+        enc_delta_p = ristretto.encode(delta_p)
+        t.append_message(b"alpha", enc_alpha_p)
+        t.append_message(b"beta", enc_beta_p)
+        t.append_message(b"delta", enc_delta_p)
+        c = t.challenge_scalar_limbs(b"c")
+        z1 = F.canon(SCALAR, F.add(SCALAR, b1, F.mul(SCALAR, c, vA)))
+        z2 = F.canon(SCALAR, F.add(SCALAR, b2, F.mul(SCALAR, c, bA)))
+        z3 = F.canon(SCALAR, F.add(SCALAR, b3, F.mul(SCALAR, c, vB)))
+        z4 = F.canon(SCALAR, F.add(SCALAR, b4, F.mul(SCALAR, c, bB)))
+        z5 = F.canon(
+            SCALAR,
+            F.add(
+                SCALAR,
+                b5,
+                F.mul(
+                    SCALAR, c, F.sub(SCALAR, b_ab, F.mul(SCALAR, bA, vB))
+                ),
+            ),
+        )
+
+        # EqualityProof: e1 vs eq(tau, rx) * (vAB - vC)
+        t.append_message(b"protocol-name", b"equality proof")
+        eq_terms = F.add(
+            SCALAR,
+            F.mul(SCALAR, tau, rxs),
+            F.mul(SCALAR, F.sub(SCALAR, one, tau), F.sub(SCALAR, one, rxs)),
+        )
+        eq_val = _prod_eq(eq_terms)
+        r2_eq1 = F.mul(SCALAR, eq_val, F.sub(SCALAR, b_ab, bC))
+        C1_eq1 = _commit([e1, be1])
+        C2_eq1 = _commit([e1, r2_eq1])
+        t.append_message(b"C1", ristretto.encode(C1_eq1))
+        t.append_message(b"C2", ristretto.encode(C2_eq1))
+        alpha_eq1 = _commit([F.zeros(()), eq1_a])
+        enc_alpha_eq1 = ristretto.encode(alpha_eq1)
+        t.append_message(b"alpha", enc_alpha_eq1)
+        c = t.challenge_scalar_limbs(b"c")
+        z_eq1 = F.canon(
+            SCALAR,
+            F.add(
+                SCALAR, F.mul(SCALAR, c, F.sub(SCALAR, be1, r2_eq1)), eq1_a
+            ),
+        )
+
+        # ---- phase 2 (ZK) -------------------------------------------------
+        r_a = t.challenge_scalar_limbs(b"challenge_Az")
+        r_b = t.challenge_scalar_limbs(b"challenge_Bz")
+        r_c = t.challenge_scalar_limbs(b"challenge_Cz")
+        claim2 = F.add(
+            SCALAR,
+            F.add(SCALAR, F.mul(SCALAR, r_a, vA), F.mul(SCALAR, r_b, vB)),
+            F.mul(SCALAR, r_c, vC),
+        )
+        bclaim2 = F.add(
+            SCALAR,
+            F.add(SCALAR, F.mul(SCALAR, r_a, bA), F.mul(SCALAR, r_b, bB)),
+            F.mul(SCALAR, r_c, bC),
+        )
+        e_rx = mle._eq_table_impl(rxs)
+        m_table = r1cs._mtw_jit(num_z)((r_a, r_b, r_c), e_rx, *flat)
+        carry = (
+            t.strobe.state,
+            jnp.int32(num_z // 2),
+            (m_table, z),
+            claim2,
+            bclaim2,
+        )
+        carry, (sc2_encs, sc2_z, sc2_zdb, rys) = jax.lax.scan(
+            _zk_round_scan(b"sc2", 2), carry, sc2_blinds, length=mu_y
+        )
+        state2, _, _, e2, be2 = carry
+
+        # ---- blinded Hyrax opening ----------------------------------------
+        t = DeviceTranscript(
+            _strobe=DeviceStrobe.from_state(state2, *_POST_CHALLENGE)
+        )
+        d_open, b_w, r_delta_o, r_beta_o = open_blinds
+        r_w = rys[1:]
+        if mu_rows:
+            eq_L = mle._eq_table_impl(r_w[:mu_rows])
+        else:
+            eq_L = F.ones(SCALAR, (1,))
+        u = F.canon(
+            SCALAR,
+            F.sum_reduce(SCALAR, F.mul(SCALAR, eq_L[:, None, :], W), axis=0),
+        )
+        b_u = F.dot(SCALAR, eq_L, row_blinds)
+        eq_w = mle._eq_table_impl(r_w)
+        w_eval = F.canon(SCALAR, F.dot(SCALAR, eq_w, z[:num_vars]))
+        if mu_cols:
+            eq_R = F.canon(SCALAR, mle._eq_table_impl(r_w[mu_rows:]))
+        else:
+            eq_R = F.ones(SCALAR, (1,))
+
+        t.append_message(b"protocol-name", b"dot product proof")
+        cols = 1 << mu_cols
+        C_u = jax.tree.map(
+            lambda a: a[0],
+            pippenger.msm_fixed_base(
+                cols,
+                GENS_LABEL,
+                jnp.concatenate([u, b_u[None]], axis=0)[None],
+                with_blind=True,
+            ),
+        )
+        C_w = _commit([w_eval, b_w])
+        enc_Cw = ristretto.encode(C_w)
+        t.append_message(b"Cx", ristretto.encode(C_u))
+        t.append_message(b"Cy", enc_Cw)
+        for i in range(cols):
+            t.append_scalar_limbs(b"a", eq_R[i])
+        delta_o = jax.tree.map(
+            lambda a: a[0],
+            pippenger.msm_fixed_base(
+                cols,
+                GENS_LABEL,
+                jnp.concatenate([d_open, r_delta_o[None]], axis=0)[None],
+                with_blind=True,
+            ),
+        )
+        enc_delta_o = ristretto.encode(delta_o)
+        dy_o = F.dot(SCALAR, d_open, eq_R)
+        beta_o = _commit([dy_o, r_beta_o])
+        enc_beta_o = ristretto.encode(beta_o)
+        t.append_message(b"delta", enc_delta_o)
+        t.append_message(b"beta", enc_beta_o)
+        c = t.challenge_scalar_limbs(b"c")
+        z_open = F.canon(
+            SCALAR, F.add(SCALAR, F.mul(SCALAR, c[None, :], u), d_open)
+        )
+        z_delta_o = F.canon(
+            SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_u), r_delta_o)
+        )
+        z_beta_o = F.canon(
+            SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_w), r_beta_o)
+        )
+
+        # ---- final relation equality proof --------------------------------
+        t.append_message(b"protocol-name", b"equality proof")
+        e_ry = mle._eq_table_impl(rys)
+        ea, eb, ec = r1cs._eval_jit()(e_rx, e_ry, *flat)
+        v_m = F.add(
+            SCALAR,
+            F.add(SCALAR, F.mul(SCALAR, r_a, ea), F.mul(SCALAR, r_b, eb)),
+            F.mul(SCALAR, r_c, ec),
+        )
+        ry0 = rys[0]
+        coeff_w = F.mul(SCALAR, v_m, F.sub(SCALAR, one, ry0))
+        r2_eq2 = F.mul(SCALAR, coeff_w, b_w)
+        C1_eq2 = _commit([e2, be2])
+        C2_eq2 = _commit([e2, r2_eq2])
+        t.append_message(b"C1", ristretto.encode(C1_eq2))
+        t.append_message(b"C2", ristretto.encode(C2_eq2))
+        alpha_eq2 = _commit([F.zeros(()), eq2_a])
+        enc_alpha_eq2 = ristretto.encode(alpha_eq2)
+        t.append_message(b"alpha", enc_alpha_eq2)
+        c = t.challenge_scalar_limbs(b"c")
+        z_eq2 = F.canon(
+            SCALAR,
+            F.add(
+                SCALAR, F.mul(SCALAR, c, F.sub(SCALAR, be2, r2_eq2)), eq2_a
+            ),
+        )
+
+        mid_encs = jnp.stack(
+            [
+                enc_CA,
+                enc_CB,
+                enc_CC,
+                enc_Cab,
+                enc_alpha_p,
+                enc_beta_p,
+                enc_delta_p,
+                enc_alpha_eq1,
+            ]
+        )
+        mid_z = jnp.stack([z1, z2, z3, z4, z5, z_eq1])
+        open_encs = jnp.stack(
+            [enc_Cw, enc_delta_o, enc_beta_o, enc_alpha_eq2]
+        )
+        return (
+            enc_rows,
+            sc1_encs,
+            sc1_z,
+            sc1_zdb,
+            mid_encs,
+            mid_z,
+            sc2_encs,
+            sc2_z,
+            sc2_zdb,
+            open_encs,
+            z_open,
+            jnp.stack([z_delta_o, z_beta_o, z_eq2]),
+        )
+
+    return jax.jit(run)
+
+
+def _int(row: np.ndarray) -> int:
+    return limbs_to_int(row) % MOD
+
+
+def prove(
+    dev: r1cs.R1CSDevice,
+    vars_ints: list,
+    inputs_ints: list,
+    seed: bytes | None = None,
+) -> ZKNIZKProof:
+    """Drop-in replacement for zknizk.prove: same seed -> byte-identical
+    proof, verified by zknizk.verify; ONE device dispatch + ONE fetch."""
+    from .. import metrics
+
+    rng = BlindSource(seed or os.urandom(32))
+    nvp = dev.num_vars
+    mu_rows, mu_cols = _hyrax_dims(nvp)
+    mu_x = (dev.num_cons - 1).bit_length()
+    mu_y = (dev.num_z - 1).bit_length()
+    cols = 1 << mu_cols
+
+    # draw every blind in zknizk.prove's exact order
+    row_blinds = rng.scalars(1 << mu_rows)
+
+    def sc_draws(n_rounds, degree):
+        bp, bn, dd, rd, rb = [], [], [], [], []
+        for _ in range(n_rounds):
+            bp.append(rng.scalar())
+            bn.append(rng.scalar())
+            dd.append(rng.scalars(degree + 1))
+            rd.append(rng.scalar())
+            rb.append(rng.scalar())
+        return (
+            _devs(bp),
+            _devs(bn),
+            jnp.asarray([ints_to_limbs(d) for d in dd]),
+            _devs(rd),
+            _devs(rb),
+        )
+
+    sc1_blinds = sc_draws(mu_x, 3)
+    abc = rng.scalars(3) + [rng.scalar()]  # bA, bB, bC, b_ab
+    prod = rng.scalars(5)
+    eq1_a = rng.scalar()
+    sc2_blinds = sc_draws(mu_y, 2)
+    b_w = rng.scalar()
+    d_open = rng.scalars(cols)
+    r_delta_o, r_beta_o = rng.scalar(), rng.scalar()
+    eq2_a = rng.scalar()
+
+    t = Transcript(PROTO)
+    t.append_message(b"R1CS", dev.digest)
+    t.append_u64(b"num_inputs", len(inputs_ints))
+    for x in inputs_ints:
+        t.append_scalar(b"input", _sb(x))
+
+    metrics.add("constraints", dev.num_cons)
+    metrics.add("msm_points", nvp)
+    vars_padded = list(vars_ints) + [0] * (nvp - len(vars_ints))
+
+    st_np, pos, pos_begin, cur_flags = export_host_strobe(t.strobe)
+    z = r1cs.assemble_z(
+        _devs(vars_padded), _devs(inputs_ints) if inputs_ints else None, nvp
+    )
+    core = _core(
+        dev.num_cons, dev.num_z, nvp, mu_rows, mu_cols, (pos, pos_begin, cur_flags)
+    )
+    with metrics.timed("zkfused_prove"):
+        out = core(
+            jnp.asarray(st_np),
+            z,
+            _devs(row_blinds),
+            sc1_blinds,
+            _devs(abc),
+            _devs(prod),
+            _dev(eq1_a),
+            sc2_blinds,
+            (_devs(d_open), _dev(b_w), _dev(r_delta_o), _dev(r_beta_o)),
+            _dev(eq2_a),
+            *dev._flat_mats(),
+        )
+        (
+            enc_rows,
+            sc1_encs,
+            sc1_z,
+            sc1_zdb,
+            mid_encs,
+            mid_z,
+            sc2_encs,
+            sc2_z,
+            sc2_zdb,
+            open_encs,
+            z_open,
+            tail_z,
+        ) = jax.device_get(out)
+    metrics.add("sumcheck_rounds", mu_x)
+
+    def enc(a) -> bytes:
+        return bytes(np.asarray(a).tobytes())
+
+    def sc_proof(encs, zz, zdb, n_rounds, degree) -> ZKSumcheckProof:
+        comm_polys = [enc(encs[j, 0]) for j in range(n_rounds)]
+        comm_evals = [enc(encs[j, 1]) for j in range(n_rounds)]
+        dots = [
+            DotProductProof(
+                delta=enc(encs[j, 2]),
+                beta=enc(encs[j, 3]),
+                z=[_int(zz[j, k]) for k in range(degree + 1)],
+                z_delta=_int(zdb[j, 0]),
+                z_beta=_int(zdb[j, 1]),
+            )
+            for j in range(n_rounds)
+        ]
+        return ZKSumcheckProof(comm_polys, comm_evals, dots)
+
+    return ZKNIZKProof(
+        comm_vars=[enc(enc_rows[i]) for i in range(enc_rows.shape[0])],
+        sc1=sc_proof(sc1_encs, sc1_z, sc1_zdb, mu_x, 3),
+        comm_abc=(enc(mid_encs[0]), enc(mid_encs[1]), enc(mid_encs[2])),
+        comm_ab=enc(mid_encs[3]),
+        proof_ab=ProductProof(
+            alpha=enc(mid_encs[4]),
+            beta=enc(mid_encs[5]),
+            delta=enc(mid_encs[6]),
+            z=tuple(_int(mid_z[k]) for k in range(5)),
+        ),
+        eq1=EqualityProof(alpha=enc(mid_encs[7]), z=_int(mid_z[5])),
+        sc2=sc_proof(sc2_encs, sc2_z, sc2_zdb, mu_y, 2),
+        comm_w=enc(open_encs[0]),
+        dot_u=DotProductProof(
+            delta=enc(open_encs[1]),
+            beta=enc(open_encs[2]),
+            z=[_int(z_open[k]) for k in range(cols)],
+            z_delta=_int(tail_z[0]),
+            z_beta=_int(tail_z[1]),
+        ),
+        eq2=EqualityProof(alpha=enc(open_encs[3]), z=_int(tail_z[2])),
+    )
