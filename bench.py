@@ -31,6 +31,13 @@ def main():
         runtime.force_cpu()
     else:
         runtime.use_tpu()
+        try:
+            import jax
+
+            jax.devices()
+        except Exception:
+            # TPU tunnel unreachable — still produce the JSON line on CPU
+            runtime.force_cpu()
 
     from otti_tpu.codegen import lp_cert
     from otti_tpu.io import mps

@@ -71,6 +71,37 @@ def _validate_cache_dir(d: str):
 
 
 _cache_validated = False
+_put_patched = False
+
+
+def _patch_multidevice_cache_writes():
+    """Skip persistent-cache WRITES for multi-device executables.
+
+    jaxlib 0.9.0's ``LoadedExecutable.serialize()`` segfaults on XLA:CPU
+    executables spanning >1 device (observed deterministically on the
+    shard_map fused prover under the 8-virtual-device test mesh); the
+    crash is inside native code, so it cannot be caught — it must be
+    avoided.  Single-device entries (the vast majority, and all TPU
+    bench shapes) still persist; multi-device programs just recompile
+    per process.
+    """
+    global _put_patched
+    if _put_patched:
+        return
+    from jax._src import compilation_cache as _cc
+
+    _orig_put = _cc.put_executable_and_time
+
+    def _safe_put(cache_key, module_name, executable, backend, compile_time):
+        try:
+            if len(executable.local_devices()) > 1:
+                return
+        except Exception:
+            pass
+        return _orig_put(cache_key, module_name, executable, backend, compile_time)
+
+    _cc.put_executable_and_time = _safe_put
+    _put_patched = True
 
 
 def enable_compile_cache():
@@ -83,6 +114,7 @@ def enable_compile_cache():
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _patch_multidevice_cache_writes()
     except Exception:  # pragma: no cover - older jax
         pass
 
