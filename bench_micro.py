@@ -1,0 +1,218 @@
+#!/usr/bin/env python3
+"""North-star kernel microbenchmarks (BASELINE.md targets).
+
+Measures the primitive throughputs that gate the whole prover
+(SURVEY.md §7.4: "field-mul/s is north-star metric #1"):
+
+  * field_mul_per_s      — batched curve25519 scalar-field multiplies
+  * msm_points_per_s     — variable-base Pippenger MSM over ristretto255
+  * sumcheck_points_per_s — hypercube points folded+evaluated per second
+                            in one cubic sumcheck round (4 tables)
+  * scaling (--scaling)  — sharded sumcheck-round efficiency on a
+                            1/2/4/8-device mesh (virtual CPU devices;
+                            SURVEY.md §6 "N-host scaling efficiency")
+
+Usage:
+  python bench_micro.py              # real TPU (falls back to CPU)
+  python bench_micro.py --cpu        # force CPU
+  python bench_micro.py --scaling    # CPU 8-virtual-device scaling runs
+
+Prints one JSON line per metric (same shape as bench.py's line).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _emit(metric, value, unit, vs=None):
+    line = {"metric": metric, "value": value, "unit": unit}
+    if vs is not None:
+        line["vs_baseline"] = vs
+    print(json.dumps(line), flush=True)
+
+
+def bench_field_mul(n=1 << 16, chain=32, iters=5):
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from otti_tpu.field import ops as F
+    from otti_tpu.field.fields import SCALAR, ints_to_limbs
+
+    r = random.Random(1)
+    a = jnp.asarray(ints_to_limbs([r.randrange(SCALAR.modulus) for _ in range(n)]))
+    b = jnp.asarray(ints_to_limbs([r.randrange(SCALAR.modulus) for _ in range(n)]))
+
+    @jax.jit
+    def chained(a, b):
+        def body(_, acc):
+            return F.mul(SCALAR, acc, b)
+
+        return jax.lax.fori_loop(0, chain, body, a)
+
+    chained(a, b).block_until_ready()  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        out = chained(a, b)
+    out.block_until_ready()
+    dt = time.time() - t0
+    rate = n * chain * iters / dt
+    _emit("field_mul_per_s", round(rate), f"mul/s (batch={n} chain={chain})")
+    return rate
+
+
+def bench_msm(n=1 << 13, iters=3):
+    import random
+
+    import jax.numpy as jnp
+
+    from otti_tpu.curve import edwards as E
+    from otti_tpu.field.fields import ints_to_limbs
+    from otti_tpu.msm import pippenger
+
+    r = random.Random(2)
+    L = (1 << 252) + 27742317777372353535851937790883648493
+    # random valid points: k_i * B computed batched on device
+    gen_ks = jnp.asarray(ints_to_limbs([r.randrange(1, L) for _ in range(n)]))
+    base = E.base_point(shape=(n,))
+    import jax
+
+    pts = jax.jit(E.scalar_mul)(base, gen_ks)
+    pts = jax.tree.map(lambda x: x.block_until_ready(), pts)
+    ks = jnp.asarray(ints_to_limbs([r.randrange(L) for _ in range(n)]))
+
+    f = pippenger.msm_jit(n)
+    jax.tree.map(
+        lambda x: x.block_until_ready(), f(pts, ks)
+    )  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(pts, ks)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    dt = time.time() - t0
+    rate = n * iters / dt
+    _emit("msm_points_per_s", round(rate), f"points/s (n={n})")
+    return rate
+
+
+def bench_sumcheck_round(n=1 << 18, iters=5):
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from otti_tpu.field.fields import SCALAR, ints_to_limbs
+    from otti_tpu.spartan import sumcheck
+
+    r = random.Random(3)
+
+    def tbl():
+        return jnp.asarray(
+            ints_to_limbs([r.randrange(SCALAR.modulus) for _ in range(n)])
+        )
+
+    eq, pa, pb, pc = tbl(), tbl(), tbl(), tbl()
+    r_prev = jnp.asarray(ints_to_limbs([r.randrange(SCALAR.modulus)]))[0]
+    step = sumcheck._step_cubic_kernel(n)
+    half = jnp.int32(n // 2)
+
+    evals, tables = step(r_prev, jnp.int32(n), eq, pa, pb, pc)
+    evals.block_until_ready()  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        evals, tables = step(r_prev, jnp.int32(n), eq, pa, pb, pc)
+    evals.block_until_ready()
+    dt = time.time() - t0
+    rate = n * iters / dt
+    _emit(
+        "sumcheck_points_per_s",
+        round(rate),
+        f"hypercube points/s per round (n={n}, bind+eval of 4 tables)",
+    )
+    return rate
+
+
+def bench_scaling(n=1 << 18, iters=3):
+    """Sharded cubic sumcheck round at mesh sizes 1/2/4/8 (virtual CPU)."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from otti_tpu.field.fields import SCALAR, ints_to_limbs
+    from otti_tpu.parallel import sharded
+
+    r = random.Random(4)
+
+    def tbl():
+        return jnp.asarray(
+            ints_to_limbs([r.randrange(SCALAR.modulus) for _ in range(n)])
+        )
+
+    eq, pa, pb, pc = tbl(), tbl(), tbl(), tbl()
+    times = {}
+    for k in (1, 2, 4, 8):
+        if k > len(jax.devices()):
+            break
+        mesh = sharded.make_mesh(k)
+        out = sharded.round_cubic_sharded(mesh, eq, pa, pb, pc)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = sharded.round_cubic_sharded(mesh, eq, pa, pb, pc)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        times[k] = (time.time() - t0) / iters
+    base = times.get(1)
+    for k, t in times.items():
+        eff = base / (k * t) if base else None
+        _emit(
+            f"sumcheck_round_sharded_{k}dev_s",
+            round(t, 4),
+            f"s/round (n={n})",
+            vs=round(eff, 3) if eff else None,
+        )
+    return times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--quick", action="store_true", help="small sizes (CI)")
+    args = ap.parse_args()
+
+    from otti_tpu import runtime
+
+    if args.cpu or args.scaling or os.environ.get("OTTI_BENCH_CPU"):
+        runtime.force_cpu()
+    else:
+        runtime.use_tpu()
+        try:
+            import jax
+
+            jax.devices()
+        except Exception:
+            runtime.force_cpu()
+
+    if args.scaling:
+        bench_scaling(n=1 << 14 if args.quick else 1 << 18)
+        return
+
+    sizes = (
+        dict(fm=1 << 12, msm=1 << 8, sc=1 << 12)
+        if args.quick
+        else dict(fm=1 << 16, msm=1 << 13, sc=1 << 18)
+    )
+    bench_field_mul(n=sizes["fm"])
+    bench_msm(n=sizes["msm"])
+    bench_sumcheck_round(n=sizes["sc"])
+
+
+if __name__ == "__main__":
+    main()

@@ -326,10 +326,12 @@ def main(argv=None):
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument(
         "--verify-zkif",
-        nargs=2,
-        metavar=("CIRCUIT_ZKIF", "WITNESS_ZKIF"),
-        help="prove+verify an imported zkinterface instance (spzk parity: "
-        "run.py:58 'spzk verify --nizk <circuit> <inp> <wit>')",
+        nargs="+",
+        metavar="ZKIF",
+        help="prove+verify an imported zkinterface instance: either "
+        "<circuit.zkif> <wit.zkif>, or the reference triple "
+        "<circuit.zkif> <inp.zkif> <wit.zkif> (spzk parity: run.py:58 "
+        "'spzk verify --nizk <circuit> <inp> <wit>')",
     )
     args = parser.parse_args(argv)
 
@@ -354,9 +356,15 @@ def main(argv=None):
     if args.verify_zkif:
         from .io import zkif as zkif_mod
 
-        circuit, wit = args.verify_zkif
+        if len(args.verify_zkif) == 2:
+            circuit, wit = args.verify_zkif
+            inp = None
+        elif len(args.verify_zkif) == 3:
+            circuit, inp, wit = args.verify_zkif
+        else:
+            parser.error("--verify-zkif takes 2 or 3 files")
         _stage(f"Importing {circuit}")
-        shape, vars_, inputs = zkif_mod.import_r1cs(circuit, wit)
+        shape, vars_, inputs = zkif_mod.import_r1cs(circuit, wit, inp)
         timer = Timer()
         ok = prove_and_verify(
             shape, vars_, inputs, os.path.basename(circuit), timer, args.out, args.zk

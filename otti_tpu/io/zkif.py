@@ -323,15 +323,30 @@ def export_r1cs(shape, vars_ints, inputs_ints, basepath: str):
         )
 
 
-def import_r1cs(zkif_path: str, wit_path: str | None = None):
-    """-> (R1CSShape, vars_ints, inputs_ints) from zkinterface files."""
+def import_r1cs(
+    zkif_path: str, wit_path: str | None = None, inp_path: str | None = None
+):
+    """-> (R1CSShape, vars_ints, inputs_ints) from zkinterface files.
+
+    Accepts the reference triple (run.py:58 ``spzk verify --nizk a.zkif
+    a.inp.zkif a.wit.zkif``): when ``inp_path`` is given its
+    CircuitHeader's input assignment overrides the circuit file's (the
+    reference emits the public inputs in the separate .inp.zkif)."""
     from ..spartan.r1cs import R1CSShape
 
     with open(zkif_path, "rb") as f:
         data = f.read()
     n_inputs, input_vals, free_id = 0, [], 1
     constraints = []
-    for msg_type, msg in read_messages(data):
+    messages = list(read_messages(data))
+    if inp_path:
+        with open(inp_path, "rb") as f:
+            messages += [
+                (t, m)
+                for t, m in read_messages(f.read())
+                if t == MSG_CIRCUIT_HEADER
+            ]
+    for msg_type, msg in messages:
         if msg_type == MSG_CIRCUIT_HEADER:
             iv = msg.table(0)
             ids, vals = parse_variables(iv) if iv else ([], [])

@@ -30,15 +30,25 @@ def _host_tag() -> str:
     import platform
 
     flags = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if not flags and line.startswith("flags"):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif not model and line.startswith("model name"):
+                    # the flag set alone is too coarse: XLA also picks
+                    # model-dependent pseudo-features (prefer-no-gather/
+                    # -scatter on Sapphire Rapids vs not), and loading an
+                    # AOT entry across such models SIGILLs
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
                     break
     except OSError:  # pragma: no cover
         pass
-    return hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:16]
+    return hashlib.sha256(
+        (platform.machine() + model + flags).encode()
+    ).hexdigest()[:16]
 
 
 def _validate_cache_dir(d: str):

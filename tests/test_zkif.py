@@ -29,6 +29,34 @@ def test_roundtrip_toy(tmp_path):
     assert sorted(shape2.C) == sorted(shape.C)
 
 
+def test_roundtrip_reference_triple(tmp_path):
+    """3-file spzk surface: inputs taken from the separate .inp.zkif."""
+    shape, vars_, ios = toy_instance()
+    base = str(tmp_path / "toy")
+    zkif.export_r1cs(shape, vars_, ios, base)
+    # rewrite the circuit file's header with zeroed inputs, as a reference
+    # toolchain may do — the .inp.zkif must then be authoritative
+    with open(base + ".zkif", "rb") as f:
+        circ = f.read()
+    hdr = zkif.write_circuit_header(
+        shape.num_inputs, [0] * shape.num_inputs,
+        1 + shape.num_inputs + shape.num_vars,
+    )
+    msgs = list(zkif.read_messages(circ))
+    assert msgs[0][0] == zkif.MSG_CIRCUIT_HEADER
+    # header is the first length-prefixed message; splice in the zeroed one
+    import struct
+
+    first_len = struct.unpack("<I", circ[:4])[0] + 4
+    with open(base + ".zeroed.zkif", "wb") as f:
+        f.write(hdr + circ[first_len:])
+    shape2, vars2, ios2 = zkif.import_r1cs(
+        base + ".zeroed.zkif", base + ".wit.zkif", base + ".inp.zkif"
+    )
+    assert ios2 == [v % MOD for v in ios]
+    assert shape2.is_satisfied(vars2, ios2)
+
+
 def test_roundtrip_random(tmp_path):
     shape, zvars, inputs = random_instance(9, 6, 2, seed=5)
     base = str(tmp_path / "rnd")
