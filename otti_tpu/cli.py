@@ -60,8 +60,15 @@ def already_verified(out_dir, name) -> bool:
 
 
 def prove_and_verify(
-    shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False
+    shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False,
+    snark=False,
 ):
+    if snark:
+        # SNARK mode (Spartan's preprocessing mode, SURVEY.md §3.5 step 6
+        # moved prover-side): commit to A/B/C once, carry SPARK eval proofs.
+        return _prove_and_verify_snark(
+            shape, vars_, inputs, name, timer, out_dir
+        )
     if zk:
         from .spartan import zkfused, zknizk as prover
 
@@ -124,7 +131,61 @@ def prove_and_verify(
     return ok
 
 
-def run_lp(files, home_out, prove=True, zk=False, resume=False):
+def _prove_and_verify_snark(shape, vars_, inputs, name, timer, out_dir=None):
+    from . import metrics
+    from .spartan import snark, spark
+
+    with timer.time("to_device"):
+        dev = shape.to_device()
+    with timer.time("snark_setup"):
+        comm = spark.commit(dev)
+    _stage(
+        f"Proving {name} (snark): {shape.num_cons} constraints, "
+        f"{shape.num_vars} vars, {shape.num_inputs} inputs"
+    )
+    metrics.reset()
+    with timer.time("prove"):
+        proof = snark.prove(dev, comm, vars_, inputs)
+    prove_metrics = metrics.snapshot()
+    if timer.t.get("prove"):
+        prove_metrics["constraints_per_s"] = round(
+            shape.num_cons / timer.t["prove"], 1
+        )
+    with timer.time("verify"):
+        ok = snark.verify(dev, comm, inputs, proof)
+    if ok:
+        _stage(
+            f"Verification successful for {name}  "
+            f"[{timer.report()}  proof={proof.size_bytes()}B]"
+        )
+    else:
+        _stage(f"VERIFICATION FAILED for {name}")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from .spartan import serial
+
+        serial.save(proof, os.path.join(out_dir, name + ".proof.json"))
+        with open(os.path.join(out_dir, name + ".meta.json"), "w") as f:
+            json.dump(
+                {
+                    "name": name,
+                    "mode": "snark",
+                    "num_cons": shape.num_cons,
+                    "num_vars": shape.num_vars,
+                    "num_inputs": shape.num_inputs,
+                    "verified": bool(ok),
+                    "proof_bytes": proof.size_bytes(),
+                    "timings": timer.t,
+                    "prover_metrics": prove_metrics,
+                },
+                f,
+                indent=2,
+            )
+    return ok
+
+
+def run_lp(files, home_out, prove=True, zk=False, resume=False,
+           snark=False, delta=None):
     from .codegen import lp_cert
     from .io import mps
     from .oracle import lp_oracle
@@ -142,7 +203,8 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False):
         with timer.time("oracle"):
             x, y, opt = lp_oracle.solve(prob)
         with timer.time("lower"):
-            shape, vars_, inputs = lp_cert.build(prob, x, y)
+            kw = {} if delta is None else {"delta": delta}
+            shape, vars_, inputs = lp_cert.build(prob, x, y, **kw)
         return shape, vars_, inputs, opt, timer
 
     from concurrent.futures import ThreadPoolExecutor
@@ -164,7 +226,7 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False):
                 _stage(f"  oracle optimum {opt:.4f}")
                 if prove:
                     ok_all &= prove_and_verify(
-                        shape, vars_, inputs, name, timer, out_dir, zk
+                        shape, vars_, inputs, name, timer, out_dir, zk, snark
                     )
                 else:
                     _stage(
@@ -177,7 +239,8 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False):
     return ok_all
 
 
-def run_sdp(files, home_out, prove=True, zk=False, resume=False):
+def run_sdp(files, home_out, prove=True, zk=False, resume=False,
+            snark=False, epsilon=None):
     from .codegen import sdp_cert
     from .io import sdpa
     from .oracle import sdp_oracle
@@ -202,10 +265,11 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False):
             with timer.time("lower"):
                 Lx = sdp_oracle.cholesky_witness(X)
                 Ls = sdp_oracle.cholesky_witness(S)
-                shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls)
+                kw = {} if epsilon is None else {"epsilon": epsilon}
+                shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls, **kw)
             if prove:
                 ok_all &= prove_and_verify(
-                    shape, vars_, inputs, name, timer, out_dir, zk
+                    shape, vars_, inputs, name, timer, out_dir, zk, snark
                 )
             else:
                 _stage(
@@ -217,7 +281,8 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False):
     return ok_all
 
 
-def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False, resume=False, batch=False):
+def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
+            resume=False, batch=False, snark=False):
     from .codegen import sgd_cert
     from .io import pmlb_local
     from .oracle import sgd_oracle
@@ -253,7 +318,7 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False, resum
                 lowered.append((name, shape, vars_, inputs, timer))
             elif prove:
                 ok_all &= prove_and_verify(
-                    shape, vars_, inputs, name, timer, out_dir, zk
+                    shape, vars_, inputs, name, timer, out_dir, zk, snark
                 )
             else:
                 _stage(
@@ -323,7 +388,37 @@ def main(argv=None):
         action="store_true",
         help="zero-knowledge mode (blinded commitments + sigma proofs)",
     )
+    parser.add_argument(
+        "--snark",
+        action="store_true",
+        help="SNARK mode: preprocess A/B/C commitments (SPARK) so the "
+        "verifier never touches the sparse matrices (vs the default "
+        "transparent NIZK, spzk's --nizk)",
+    )
+    parser.add_argument(
+        "--delta",
+        type=float,
+        default=None,
+        help="LP certificate tolerance (statement parameter; reference "
+        "lpcodegen.py:6 default 0.01)",
+    )
+    parser.add_argument(
+        "--epsilon",
+        type=float,
+        default=None,
+        help="SDP certificate tolerance (statement parameter; reference "
+        "sdpcodegen.py:98 default 1e-2)",
+    )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--coordinator",
+        type=str,
+        default=None,
+        help="multi-host pod run: coordinator address host:port "
+        "(jax.distributed; run the same command on every host)",
+    )
+    parser.add_argument("--num-hosts", type=int, default=None)
+    parser.add_argument("--host-id", type=int, default=None)
     parser.add_argument(
         "--verify-zkif",
         nargs="+",
@@ -334,6 +429,8 @@ def main(argv=None):
         "'spzk verify --nizk <circuit> <inp> <wit>')",
     )
     args = parser.parse_args(argv)
+    if args.zk and args.snark:
+        parser.error("--zk and --snark are mutually exclusive")
 
     from . import runtime
 
@@ -341,6 +438,8 @@ def main(argv=None):
         runtime.force_cpu()
     else:
         runtime.use_tpu()
+    if args.coordinator or args.num_hosts:
+        runtime.init_distributed(args.coordinator, args.num_hosts, args.host_id)
 
     ds = args.datasets
     os.makedirs(args.out, exist_ok=True)
@@ -367,7 +466,8 @@ def main(argv=None):
         shape, vars_, inputs = zkif_mod.import_r1cs(circuit, wit, inp)
         timer = Timer()
         ok = prove_and_verify(
-            shape, vars_, inputs, os.path.basename(circuit), timer, args.out, args.zk
+            shape, vars_, inputs, os.path.basename(circuit), timer,
+            args.out, args.zk, args.snark,
         )
         return 0 if ok else 1
     if args.lp:
@@ -380,7 +480,8 @@ def main(argv=None):
         else:
             _stage("Running LP small Otti dataset")
             files = listdir("LP/MPS-small")
-        ok = run_lp(files, args.out, prove, args.zk, args.resume)
+        ok = run_lp(files, args.out, prove, args.zk, args.resume,
+                    snark=args.snark, delta=args.delta)
     elif args.sdp:
         if args.custom:
             files = [args.custom]
@@ -391,7 +492,8 @@ def main(argv=None):
         else:
             _stage("Running SDP small Otti dataset")
             files = listdir("SDP/small")
-        ok = run_sdp(files, args.out, prove, args.zk, args.resume)
+        ok = run_sdp(files, args.out, prove, args.zk, args.resume,
+                     snark=args.snark, epsilon=args.epsilon)
     elif args.sgd:
         if args.full:
             _stage("Running SGD full Otti dataset")
@@ -402,6 +504,7 @@ def main(argv=None):
                 zk=args.zk,
                 resume=args.resume,
                 batch=args.batch,
+                snark=args.snark,
             )
             _stage("Running SGD probabilistic Otti dataset")
             ok &= run_sgd(
@@ -412,6 +515,7 @@ def main(argv=None):
                 zk=args.zk,
                 resume=args.resume,
                 batch=args.batch,
+                snark=args.snark,
             )
         else:
             _stage("Running SGD small Otti dataset")
@@ -422,6 +526,7 @@ def main(argv=None):
                 zk=args.zk,
                 resume=args.resume,
                 batch=args.batch,
+                snark=args.snark,
             )
     else:
         parser.print_help()

@@ -143,3 +143,34 @@ def force_cpu(n_devices: int = 8):
 def use_tpu():
     """Run on the real chip (bench): keep the preset axon platform."""
     enable_compile_cache()
+
+
+def init_distributed(
+    coordinator: str | None = None,
+    num_hosts: int | None = None,
+    host_id: int | None = None,
+):
+    """Multi-host pod bootstrap (SURVEY.md §5.8).
+
+    The reference has no distributed story (process boundaries are
+    subprocess + files, run.py:45-58); here a pod run is ONE logical JAX
+    program: each host calls this, then ``jax.devices()`` spans the whole
+    slice and ``parallel.sharded`` lays the sumcheck hypercube / MSM point
+    ranges over ICI.  On single-host (or when no coordinator is given and
+    the environment carries no cluster config) this is a no-op.
+    """
+    kw = {}
+    if coordinator:
+        kw["coordinator_address"] = coordinator
+    if num_hosts is not None:
+        kw["num_processes"] = num_hosts
+    if host_id is not None:
+        kw["process_id"] = host_id
+    if not kw and not any(
+        v in os.environ
+        for v in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+    ):
+        return False  # single-host: nothing to initialize
+    jax.distributed.initialize(**kw)
+    enable_compile_cache()
+    return True

@@ -25,6 +25,22 @@ class SNARKProof:
     evals_abc: tuple  # claimed (eA, eB, eC) at (rx, ry)
     spark_proofs: tuple  # per-matrix SparkMatrixEvalProof
 
+    def size_bytes(self) -> int:
+        def count(o):
+            if isinstance(o, (bytes, int)):
+                return 32
+            if dataclasses.is_dataclass(o) and not isinstance(o, type):
+                return sum(
+                    count(getattr(o, f.name)) for f in dataclasses.fields(o)
+                )
+            if isinstance(o, (list, tuple)):
+                return sum(count(v) for v in o)
+            if isinstance(o, dict):
+                return sum(count(v) for v in o.values())
+            return 0
+
+        return count(self)
+
 
 def prove(
     dev: r1cs.R1CSDevice,

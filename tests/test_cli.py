@@ -43,6 +43,59 @@ def test_cli_verify_zkif_roundtrip(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "out" / "toy.zkif.proof.json"))
 
 
+def test_cli_verify_zkif_snark_mode(tmp_path, capsys):
+    """--snark: SPARK-preprocessed proving through the CLI surface."""
+    shape, vars_, ios = toy_instance()
+    base = str(tmp_path / "toy")
+    zkif.export_r1cs(shape, vars_, ios, base)
+    rc = cli.main(
+        [
+            "--verify-zkif",
+            base + ".zkif",
+            base + ".wit.zkif",
+            "--snark",
+            "--cpu",
+            "--out",
+            str(tmp_path / "out"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "(snark)" in out
+    assert "Verification successful" in out
+    import json
+
+    with open(str(tmp_path / "out" / "toy.zkif.meta.json")) as f:
+        meta = json.load(f)
+    assert meta["mode"] == "snark" and meta["verified"]
+
+
+def test_cli_zk_snark_exclusive(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["--lp", "--zk", "--snark"])
+
+
+def test_cli_lp_custom_delta_flag(tmp_path, capsys):
+    """--delta is a statement parameter (SURVEY.md §5.6): a looser delta
+    must still lower + solve; it changes the fixed-point statement."""
+    rc = cli.main(
+        [
+            "--lp",
+            "--custom",
+            AFIRO,
+            "--no-prove",
+            "--delta",
+            "0.1",
+            "--cpu",
+            "--out",
+            str(tmp_path),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "lowered afiro.mps" in out
+
+
 def test_cli_help_matrix(capsys):
     rc = cli.main([])
     out = capsys.readouterr().out
