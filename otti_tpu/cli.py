@@ -59,6 +59,27 @@ def already_verified(out_dir, name) -> bool:
         return False
 
 
+def _choose_fused(shape) -> bool:
+    """Pick the single-dispatch fused prover vs the per-round classic one.
+
+    The fused prover compiles both sumcheck phases + the Hyrax opening into
+    ONE XLA program; its one-time compile grows with the padded instance
+    size (tens of minutes past ~2^15 padded vars), while its win — removing
+    the ~100 ms/round host<->device Fiat-Shamir sync — is a constant
+    O(mu) per proof.  The classic prover reuses small per-round kernels
+    across shapes, so large/cold shapes prove far sooner end-to-end.
+    OTTI_FUSED=1 / OTTI_NO_FUSED=1 force either path;
+    OTTI_FUSED_MAX_VARS overrides the crossover (padded num_vars).
+    """
+    if os.environ.get("OTTI_NO_FUSED"):
+        return False
+    if os.environ.get("OTTI_FUSED"):
+        return True
+    max_vars = int(os.environ.get("OTTI_FUSED_MAX_VARS", str(1 << 14)))
+    padded = 1 << max(1, (max(shape.num_vars, 1) - 1).bit_length())
+    return padded <= max_vars
+
+
 def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False,
     snark=False,
@@ -69,22 +90,19 @@ def prove_and_verify(
         return _prove_and_verify_snark(
             shape, vars_, inputs, name, timer, out_dir
         )
+    use_fused = _choose_fused(shape)
     if zk:
         from .spartan import zkfused, zknizk as prover
 
         # single-dispatch device-transcript ZK prover (same wire format);
-        # OTTI_NO_FUSED=1 falls back to the per-round host-transcript path
-        prove_fn = (
-            prover.prove if os.environ.get("OTTI_NO_FUSED") else zkfused.prove
-        )
+        # the per-round host-transcript path is the large-shape fallback
+        prove_fn = zkfused.prove if use_fused else prover.prove
     else:
         from .spartan import fused, nizk as prover
 
         # single-dispatch device-transcript prover (same wire format);
-        # OTTI_NO_FUSED=1 falls back to the per-round host-transcript path
-        prove_fn = (
-            prover.prove if os.environ.get("OTTI_NO_FUSED") else fused.prove
-        )
+        # the per-round host-transcript path is the large-shape fallback
+        prove_fn = fused.prove if use_fused else prover.prove
 
     with timer.time("to_device"):
         dev = shape.to_device()

@@ -51,9 +51,99 @@ def _host_tag() -> str:
     ).hexdigest()[:16]
 
 
-def _validate_cache_dir(d: str):
+def _wipe_cache_dir(d: str, keep=("HOST_TAG",)):
     import shutil
 
+    for name in os.listdir(d):
+        if name in keep:
+            continue
+        p = os.path.join(d, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+_CANARY_SRC = """
+import os, jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)
+jax.config.update("jax_compilation_cache_dir", os.environ["_OTTI_CANARY_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+x = jnp.arange(4096, dtype=jnp.int32)
+print(int(jax.jit(lambda v: ((v * v + v) % 65537).sum())(x)))
+"""
+
+
+def _canary_check(d: str):
+    """Detect stale cross-machine AOT cache entries and wipe them.
+
+    The HOST_TAG fingerprint (cpuinfo flags + model) is not sufficient:
+    identically-described VMs can still differ in LLVM's cpuid-based host
+    detection (e.g. the prefer-no-gather tuning pseudo-feature), and
+    loading such an AOT entry SIGSEGVs at run time while XLA only logs
+    "Machine type used for XLA:CPU compilation doesn't match ...".  So
+    once per machine boot we compile a fixed tiny program in a scratch
+    subprocess with the cache enabled — if the stale-AOT error appears on
+    its stderr, every cached entry is suspect and the cache is wiped.
+    """
+    import subprocess
+    import sys
+
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip().replace("-", "")[:16]
+    except OSError:  # pragma: no cover
+        return
+    marker = os.path.join(d, "CANARY_OK_" + boot)
+    if os.path.exists(marker):
+        return
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_OTTI_CANARY_DIR"] = d
+    env.pop("PYTHONSTARTUP", None)
+    env.pop("TF_CPP_MIN_LOG_LEVEL", None)  # the AOT-mismatch error must be visible
+
+    def _run():
+        return subprocess.run(
+            [sys.executable, "-c", _CANARY_SRC],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+
+    try:
+        r = _run()
+        bad = (
+            "doesn't match the machine type" in r.stderr
+            or "cpu_aot_loader" in r.stderr
+            or r.returncode != 0
+        )
+        if bad:
+            _wipe_cache_dir(d)
+            r2 = _run()  # repopulate the canary entry from THIS machine
+            if r2.returncode != 0:  # pragma: no cover - canary itself broken
+                return
+        for name in os.listdir(d):  # old boots' markers
+            if name.startswith("CANARY_OK_") and name != "CANARY_OK_" + boot:
+                try:
+                    os.unlink(os.path.join(d, name))
+                except OSError:
+                    pass
+        with open(marker, "w") as f:
+            f.write("ok")
+    except (OSError, subprocess.TimeoutExpired):  # pragma: no cover
+        pass
+
+
+def _validate_cache_dir(d: str):
     tag_path = os.path.join(d, "HOST_TAG")
     cur = _host_tag()
     try:
@@ -63,19 +153,10 @@ def _validate_cache_dir(d: str):
             with open(tag_path) as f:
                 old = f.read().strip()
         if old != cur:
-            for name in os.listdir(d):
-                if name == "HOST_TAG":
-                    continue
-                p = os.path.join(d, name)
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
-                else:
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
+            _wipe_cache_dir(d)
             with open(tag_path, "w") as f:
                 f.write(cur)
+        _canary_check(d)
     except OSError:  # pragma: no cover
         pass
 
