@@ -76,8 +76,10 @@ def _choose_fused(shape) -> bool:
     if os.environ.get("OTTI_FUSED"):
         return True
     max_vars = int(os.environ.get("OTTI_FUSED_MAX_VARS", str(1 << 14)))
-    padded = 1 << max(1, (max(shape.num_vars, 1) - 1).bit_length())
-    return padded <= max_vars
+    # the real padded dimension (r1cs.py num_vars_padded) includes the io
+    # half; phase-1 compile cost scales with constraints, so both axes
+    # gate the crossover
+    return max(shape.num_vars_padded, shape.num_cons_padded) <= max_vars
 
 
 def prove_and_verify(

@@ -51,7 +51,7 @@ def _host_tag() -> str:
     ).hexdigest()[:16]
 
 
-def _wipe_cache_dir(d: str, keep=("HOST_TAG",)):
+def _wipe_cache_dir(d: str, keep=("HOST_TAG", "CANARY_LOCK")):
     import shutil
 
     for name in os.listdir(d):
@@ -69,15 +69,24 @@ def _wipe_cache_dir(d: str, keep=("HOST_TAG",)):
 
 _CANARY_SRC = """
 import os, jax
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 1)
+def _upd(k, v):
+    try:
+        jax.config.update(k, v)
+    except Exception:
+        pass  # optional on older jax; the canary must not fail over it
+_upd("jax_platforms", "cpu")
+_upd("jax_num_cpu_devices", 1)
 jax.config.update("jax_compilation_cache_dir", os.environ["_OTTI_CANARY_DIR"])
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+_upd("jax_persistent_cache_min_entry_size_bytes", -1)
+_upd("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 x = jnp.arange(4096, dtype=jnp.int32)
 print(int(jax.jit(lambda v: ((v * v + v) % 65537).sum())(x)))
 """
+
+# stderr signatures of a cross-machine AOT entry being loaded (jaxlib 0.9
+# logs the first and then SIGSEGVs somewhere later)
+_STALE_SIGNATURES = ("doesn't match the machine type", "cpu_aot_loader")
 
 
 def _canary_check(d: str):
@@ -90,7 +99,17 @@ def _canary_check(d: str):
     "Machine type used for XLA:CPU compilation doesn't match ...".  So
     once per machine boot we compile a fixed tiny program in a scratch
     subprocess with the cache enabled — if the stale-AOT error appears on
-    its stderr, every cached entry is suspect and the cache is wiped.
+    its stderr (or the subprocess dies on a signal), every cached entry
+    is suspect and the cache is wiped.
+
+    The canary runs TWICE when its own entry may be fresh: the first run
+    may compile-and-store (a cache miss passes even over a stale cache),
+    the second run *loads* the stored entry, exercising the AOT-load path
+    that actually crashes — closing the false-negative window when the
+    canary entry is absent while other entries are stale.
+    Wipes happen only on the stale-AOT signatures or a crash signal;
+    ordinary canary failures (broken venv, older jax) write a
+    CANARY_BROKEN marker instead of re-wiping the cache every process.
     """
     import subprocess
     import sys
@@ -101,8 +120,38 @@ def _canary_check(d: str):
     except OSError:  # pragma: no cover
         return
     marker = os.path.join(d, "CANARY_OK_" + boot)
-    if os.path.exists(marker):
+    broken = os.path.join(d, "CANARY_BROKEN_" + boot)
+    if os.path.exists(marker) or os.path.exists(broken):
         return
+
+    # one process per boot performs the check: O_EXCL lock in the cache
+    # dir so concurrent cold starts (pytest + cli + bench) don't wipe each
+    # other's in-progress writes.  A stale lock (>10 min) is broken.
+    lock = os.path.join(d, "CANARY_LOCK")
+    import time as _time
+
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        try:
+            age = _time.time() - os.path.getmtime(lock)
+        except OSError:
+            return
+        if age < 600:
+            # someone else is checking right now; wait for their verdict
+            deadline = _time.time() + 600
+            while _time.time() < deadline:
+                if os.path.exists(marker) or os.path.exists(broken):
+                    return
+                if not os.path.exists(lock):
+                    break  # holder died without verdict: fall through unlocked
+                _time.sleep(0.5)
+            return
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -119,20 +168,33 @@ def _canary_check(d: str):
             timeout=300,
         )
 
+    def _stale(r) -> bool:
+        return any(s in r.stderr for s in _STALE_SIGNATURES) or r.returncode < 0
+
     try:
         r = _run()
-        bad = (
-            "doesn't match the machine type" in r.stderr
-            or "cpu_aot_loader" in r.stderr
-            or r.returncode != 0
-        )
-        if bad:
+        if _stale(r):
             _wipe_cache_dir(d)
-            r2 = _run()  # repopulate the canary entry from THIS machine
-            if r2.returncode != 0:  # pragma: no cover - canary itself broken
-                return
+            r = _run()  # repopulate the canary entry from THIS machine
+        # second run loads the (now definitely present) canary entry: the
+        # AOT-load validation pass
+        r2 = _run() if r.returncode == 0 else r
+        if r.returncode == 0 and _stale(r2):
+            _wipe_cache_dir(d)
+            r2 = _run()
+        if r.returncode != 0 or r2.returncode != 0:
+            # canary itself broken for a non-staleness reason: record it so
+            # every subsequent process this boot isn't compile-bound
+            with open(broken, "w") as f:
+                f.write((r2 if r.returncode == 0 else r).stderr[-2000:])
+            return
         for name in os.listdir(d):  # old boots' markers
-            if name.startswith("CANARY_OK_") and name != "CANARY_OK_" + boot:
+            if (
+                name.startswith("CANARY_OK_") or name.startswith("CANARY_BROKEN_")
+            ) and name not in (
+                "CANARY_OK_" + boot,
+                "CANARY_BROKEN_" + boot,
+            ):
                 try:
                     os.unlink(os.path.join(d, name))
                 except OSError:
@@ -141,6 +203,11 @@ def _canary_check(d: str):
             f.write("ok")
     except (OSError, subprocess.TimeoutExpired):  # pragma: no cover
         pass
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _validate_cache_dir(d: str):
