@@ -28,33 +28,40 @@ from .builder import Builder, LinComb, ZERO
 
 EPSILON = 1.0e-2  # sdpcodegen.py:98
 DEFAULT_FRAC_BITS = 20
+# default magnitude cap 2^17 ~= 1.3e5 on every witness entry (X, y, Lx,
+# Ls): ~3x headroom over the largest SDPLIB full-suite witness magnitude
+# (hinf9: max|X| = 4.1e4).  A statement parameter, like epsilon.
+DEFAULT_CAP_BITS = 17
 
 
 def _sc(v: float, S: int) -> int:
+    # S is a power of two, so v*S is an exact IEEE op: no rounding here
     return int(round(v * S))
 
 
-def pick_frac_bits(prob: SDPProblem, X, y, Lx, Ls, epsilon: float) -> int:
-    """Adaptive fixed-point precision: the S^3-scale gap sum accumulates
-    ~n^2 products whose quantization error is ~(|s|+|x|) * vmax * 2^-f;
-    pick f so the total stays under epsilon/8 (cap 50 to keep float64
-    scaling exact)."""
+def pick_frac_bits(
+    prob: SDPProblem,
+    epsilon: float = EPSILON,
+    cap_bits: int = DEFAULT_CAP_BITS,
+) -> int:
+    """Canonical fixed-point precision (instance + statement params only).
+
+    The S^3-scale gap sum accumulates ~n^2 products; with every witness
+    entry bounded by cap = 2^cap_bits the quantization error is
+    ~n^2 * cap * (1 + m*cap + max_i sum|A_i|) * 2^-f; choose f so it
+    stays under epsilon/8."""
     import math as _m
 
-    n = prob.n
-    vmax = max(
-        1.0,
-        float(np.abs(X).max()),
-        float(np.abs(y).max() if len(y) else 1.0),
-        float(np.abs(Lx).max()),
-        float(np.abs(Ls).max()),
-        float(np.abs(prob.C).max()),
-        max((float(np.abs(Ai).max()) for Ai in prob.A), default=1.0),
-        float(np.abs(prob.b).max() if len(prob.b) else 1.0),
+    n, m = prob.n, prob.m
+    cap = float(1 << cap_bits)
+    suma = max(
+        (float(np.abs(Ai).sum()) for Ai in prob.A),
+        default=1.0,
     )
-    sens = 16.0 * (n * n + 1) * vmax * vmax * (1 + float(np.abs(y).sum()))
-    f = int(_m.ceil(_m.log2(sens / epsilon)))
-    return min(50, max(DEFAULT_FRAC_BITS, f))
+    sumc = float(np.abs(prob.C).sum())
+    sens = (n * n + 1) * cap * (1.0 + m * cap + suma) + sumc * cap
+    f = int(_m.ceil(_m.log2(8.0 * sens / epsilon)))
+    return max(DEFAULT_FRAC_BITS, f)
 
 
 def build(
@@ -65,12 +72,29 @@ def build(
     Ls: np.ndarray,
     frac_bits: int | None = None,
     epsilon: float = EPSILON,
+    cap_bits: int | None = None,
 ):
-    if frac_bits is None:
-        frac_bits = pick_frac_bits(prob, X, y, Lx, Ls, epsilon)
     """-> (R1CSShape, vars, inputs).  All-existential (no public inputs),
-    matching the reference main() (sdpcodegen $xvars/$yvars/$lvars)."""
+    matching the reference main() (sdpcodegen $xvars/$yvars/$lvars).
+
+    CANONICAL: frac_bits and every range width derive from the instance +
+    (epsilon, cap_bits) only; all five certificate clauses are two-sided
+    deq checks whose paired range checks pin the value to [-tol, tol], so
+    the widths need only cover [0, 2*tol] — witness-magnitude-free."""
+    import os
+
+    if cap_bits is None:
+        cap_bits = int(os.environ.get("OTTI_SDP_CAP_BITS", DEFAULT_CAP_BITS))
+    if frac_bits is None:
+        frac_bits = pick_frac_bits(prob, epsilon, cap_bits)
     n, m = prob.n, prob.m
+    cap = float(1 << cap_bits)
+    for name, arr in (("X", X), ("y", y), ("Lx", Lx), ("Ls", Ls)):
+        if arr is not None and np.size(arr) and float(np.abs(arr).max()) > cap:
+            raise ValueError(
+                f"{prob.name}: witness max|{name}|={float(np.abs(arr).max()):.3g} "
+                f"exceeds the cap {cap:.3g}; raise cap_bits (OTTI_SDP_CAP_BITS)"
+            )
     S = 1 << frac_bits
     S2, S3 = S * S, S * S * S
     eps2 = _sc(epsilon, S) * S
@@ -82,20 +106,14 @@ def build(
     lx = [[b.var(_sc(Lx[i, j], S)) if i >= j else ZERO for j in range(n)] for i in range(n)]
     ls = [[b.var(_sc(Ls[i, j], S)) if i >= j else ZERO for j in range(n)] for i in range(n)]
 
-    # range-check sizing from witness magnitudes (headroom x8)
-    mags = [
-        float(np.abs(X).max()),
-        float(np.abs(y).max() if m else 1.0),
-        float(np.abs(Lx).max()),
-        float(np.abs(Ls).max()),
-        float(np.abs(prob.C).max()),
-        max(float(np.abs(Ai).max()) for Ai in prob.A) if m else 1.0,
-        float(np.abs(prob.b).max() if m else 1.0),
-        1.0,
-    ]
-    vmax = max(mags)
-    bound3 = (vmax**3) * (n * n) * 8 + 1
-    nbits = int(math.ceil(math.log2(bound3 * S3))) + 2
+    # two-sided deq width: honest range [0, 2*tol], magnitude-free
+    def _w(bound: float) -> int:
+        nb = int(math.ceil(math.log2(max(bound, 2.0)))) + 1
+        assert nb < 250, f"range width {nb} overflows the field"
+        return nb
+
+    nbits = _w(2.0 * eps2)
+    nbits3 = _w(2.0 * eps3)
 
     # --- primal feasibility <A_i, X> = b_i  (S^2 scale) -------------------
     for i in range(m):
@@ -141,7 +159,7 @@ def build(
     for r in range(n):
         for c in range(n):
             gap = gap + b.mul(s_lc[r][c], xv[r][c])
-    b.deq(gap, ZERO, eps3, nbits)
+    b.deq(gap, ZERO, eps3, nbits3)
 
     shape, vars_, inputs = b.finalize()
     assert b.sanity_check(), f"sdp circuit unsatisfied: {prob.name}"

@@ -80,8 +80,19 @@ jax.config.update("jax_compilation_cache_dir", os.environ["_OTTI_CANARY_DIR"])
 _upd("jax_persistent_cache_min_entry_size_bytes", -1)
 _upd("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
+# the program must include GATHER and SCATTER ops: XLA:CPU embeds
+# model-dependent tuning pseudo-features (+prefer-no-gather/-scatter on
+# Sapphire Rapids-alikes) into AOT entries only for programs that use
+# those ops, and the cross-VM mismatch this canary exists to catch is
+# reported exactly on such entries (observed live: a gatherless canary
+# passed while the suite's matvec kernels hit cpu_aot_loader errors).
+def f(v, idx):
+    g = v[idx]                                   # gather
+    s = jax.ops.segment_sum(g, idx % 16, num_segments=16)  # scatter-add
+    return ((g * g + v) % 65537).sum() + s.sum()
 x = jnp.arange(4096, dtype=jnp.int32)
-print(int(jax.jit(lambda v: ((v * v + v) % 65537).sum())(x)))
+ix = (x * 7) % 4096
+print(int(jax.jit(f)(x, ix)))
 """
 
 # stderr signatures of a cross-machine AOT entry being loaded (jaxlib 0.9

@@ -148,13 +148,14 @@ class R1CSShape:
         z = list(vars_ints) + [0] * (self.num_vars_padded - self.num_vars)
         z += [1] + list(inputs_ints)
         z += [0] * (2 * self.num_vars_padded - len(z))
-        for row in range(self.num_cons):
-            az = sum(v * z[c] for r, c, v in self.A if r == row) % m
-            bz = sum(v * z[c] for r, c, v in self.B if r == row) % m
-            cz = sum(v * z[c] for r, c, v in self.C if r == row) % m
-            if az * bz % m != cz:
-                return False
-        return True
+        def rowvals(mat):  # one O(nnz) pass, not O(cons * nnz)
+            acc = [0] * self.num_cons
+            for r, c, v in mat:
+                acc[r] = (acc[r] + v * z[c]) % m
+            return acc
+
+        az, bz, cz = rowvals(self.A), rowvals(self.B), rowvals(self.C)
+        return all(a * b % m == c for a, b, c in zip(az, bz, cz))
 
 
 @dataclasses.dataclass

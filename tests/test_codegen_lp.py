@@ -62,3 +62,31 @@ def test_lp_full_dual_mode():
     x, y, _ = lp_oracle.solve(p)
     shape, vars_, inputs = lp_cert.build(p, x, y, full_dual=True)
     assert shape.is_satisfied(vars_, inputs)
+
+
+def test_lp_circuit_canonical_across_witnesses():
+    """Two honest provers with different oracles must produce the SAME
+    R1CS: widths derive from instance + statement params only (VERDICT
+    round-1 weak #2; reference circuits depend only on the instance,
+    lpcodegen.py:211-224)."""
+    p = mps.parse_mps(AFIRO)
+    x, y, _ = lp_oracle.solve(p)
+    shape1, v1, _ = lp_cert.build(p, x, y)
+    # a *different* honest witness: perturb within the delta tolerance
+    rng = np.random.default_rng(7)
+    x2 = x + rng.uniform(-1e-5, 1e-5, size=x.shape)
+    y2 = y + rng.uniform(-1e-5, 1e-5, size=y.shape)
+    shape2, v2, _ = lp_cert.build(p, x2, y2)
+    assert v1 != v2  # genuinely different witnesses
+    assert shape1.digest() == shape2.digest()
+    assert shape1.num_cons == shape2.num_cons
+    assert shape2.is_satisfied(v2, [])
+
+
+def test_lp_witness_cap_rejects_oversized():
+    p = mps.parse_mps(AFIRO)
+    x, y, _ = lp_oracle.solve(p)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exceeds the cap"):
+        lp_cert.build(p, x + 2.0**23, y)

@@ -50,6 +50,23 @@ def test_sdp_certificate_r1cs_toy():
     assert shape.is_satisfied(vars_, inputs)
 
 
+def test_sdp_circuit_canonical_across_witnesses():
+    """Same instance + different honest witnesses -> identical R1CS digest
+    (canonical circuits, VERDICT round-1 weak #2)."""
+    p = sdpa.parse_dats(TOY)
+    X, y, S = sdp_oracle.solve(p)
+    Lx = sdp_oracle.cholesky_witness(X)
+    Ls = sdp_oracle.cholesky_witness(S)
+    shape1, v1, _ = sdp_cert.build(p, X, y, Lx, Ls)
+    eps = 1e-6
+    X2 = X + eps * np.eye(p.n)
+    Lx2 = sdp_oracle.cholesky_witness(X2)
+    shape2, v2, _ = sdp_cert.build(p, X2, y, Lx2, Ls)
+    assert v1 != v2
+    assert shape1.digest() == shape2.digest()
+    assert shape2.is_satisfied(v2, [])
+
+
 def test_sdp_certificate_rejects_infeasible():
     p = sdpa.parse_dats(TOY)
     X, y, S = sdp_oracle.solve(p)
