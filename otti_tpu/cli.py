@@ -84,8 +84,19 @@ def _choose_fused(shape) -> bool:
 
 def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False,
-    snark=False,
+    snark=False, emit_zkif=False,
 ):
+    if emit_zkif and out_dir:
+        # reference-format artifact triple per instance (run.py:47-49
+        # leaves <name>.zkif/.inp.zkif/.wit.zkif); importable back through
+        # --verify-zkif for cross-toolchain exchange
+        from .io import zkif as zkif_mod
+
+        os.makedirs(out_dir, exist_ok=True)
+        with timer.time("emit_zkif"):
+            zkif_mod.export_r1cs(
+                shape, vars_, inputs, os.path.join(out_dir, name)
+            )
     if snark:
         # SNARK mode (Spartan's preprocessing mode, SURVEY.md §3.5 step 6
         # moved prover-side): commit to A/B/C once, carry SPARK eval proofs.
@@ -205,7 +216,7 @@ def _prove_and_verify_snark(shape, vars_, inputs, name, timer, out_dir=None):
 
 
 def run_lp(files, home_out, prove=True, zk=False, resume=False,
-           snark=False, delta=None):
+           snark=False, delta=None, emit_zkif=False):
     from .codegen import lp_cert
     from .io import mps
     from .oracle import lp_oracle
@@ -246,7 +257,8 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False,
                 _stage(f"  oracle optimum {opt:.4f}")
                 if prove:
                     ok_all &= prove_and_verify(
-                        shape, vars_, inputs, name, timer, out_dir, zk, snark
+                        shape, vars_, inputs, name, timer, out_dir, zk, snark,
+                        emit_zkif,
                     )
                 else:
                     _stage(
@@ -260,7 +272,7 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False,
 
 
 def run_sdp(files, home_out, prove=True, zk=False, resume=False,
-            snark=False, epsilon=None):
+            snark=False, epsilon=None, emit_zkif=False):
     from .codegen import sdp_cert
     from .io import sdpa
     from .oracle import sdp_oracle
@@ -289,7 +301,8 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
                 shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls, **kw)
             if prove:
                 ok_all &= prove_and_verify(
-                    shape, vars_, inputs, name, timer, out_dir, zk, snark
+                    shape, vars_, inputs, name, timer, out_dir, zk, snark,
+                    emit_zkif,
                 )
             else:
                 _stage(
@@ -302,7 +315,7 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
 
 
 def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
-            resume=False, batch=False, snark=False):
+            resume=False, batch=False, snark=False, emit_zkif=False):
     from .codegen import sgd_cert
     from .io import pmlb_local
     from .oracle import sgd_oracle
@@ -320,9 +333,10 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
         _stage(f"Compile, solve, and prove {dataset}")
         try:
             with timer.time("fetch"):
-                X, ypm = pmlb_local.fetch(
+                X, ypm, data_source = pmlb_local.fetch(
                     dataset, params["classes"][0], params["classes"][1], params["seed"]
                 )
+            _stage(f"  data: {data_source} ({X.shape[0]}x{X.shape[1]})")
             with timer.time("oracle"):
                 w = sgd_oracle.solve(
                     X,
@@ -338,7 +352,8 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
                 lowered.append((name, shape, vars_, inputs, timer))
             elif prove:
                 ok_all &= prove_and_verify(
-                    shape, vars_, inputs, name, timer, out_dir, zk, snark
+                    shape, vars_, inputs, name, timer, out_dir, zk, snark,
+                    emit_zkif,
                 )
             else:
                 _stage(
@@ -406,7 +421,14 @@ def main(argv=None):
     parser.add_argument(
         "--zk",
         action="store_true",
-        help="zero-knowledge mode (blinded commitments + sigma proofs)",
+        help="zero-knowledge mode (the default, matching the reference's "
+        "Spartan NIZK zkSNARK; flag kept for compatibility)",
+    )
+    parser.add_argument(
+        "--transparent",
+        action="store_true",
+        help="non-hiding transparent NIZK (unblinded commitments; leaks "
+        "witness-dependent scalars — use only for benchmarking/debug)",
     )
     parser.add_argument(
         "--snark",
@@ -440,6 +462,12 @@ def main(argv=None):
     parser.add_argument("--num-hosts", type=int, default=None)
     parser.add_argument("--host-id", type=int, default=None)
     parser.add_argument(
+        "--emit-zkif",
+        action="store_true",
+        help="also write the reference-format artifact triple per instance "
+        "(<name>.zkif/.inp.zkif/.wit.zkif, run.py:47-49)",
+    )
+    parser.add_argument(
         "--verify-zkif",
         nargs="+",
         metavar="ZKIF",
@@ -451,6 +479,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.zk and args.snark:
         parser.error("--zk and --snark are mutually exclusive")
+    if args.zk and args.transparent:
+        parser.error("--zk and --transparent are mutually exclusive")
+    # zero-knowledge is the DEFAULT (the reference's proof path is Spartan
+    # NIZK — a zkSNARK, run.py:58 --nizk); --transparent / --snark /
+    # --batch opt out explicitly.
+    args.zk = not (args.transparent or args.snark or args.batch)
 
     from . import runtime
 
@@ -501,7 +535,8 @@ def main(argv=None):
             _stage("Running LP small Otti dataset")
             files = listdir("LP/MPS-small")
         ok = run_lp(files, args.out, prove, args.zk, args.resume,
-                    snark=args.snark, delta=args.delta)
+                    snark=args.snark, delta=args.delta,
+                    emit_zkif=args.emit_zkif)
     elif args.sdp:
         if args.custom:
             files = [args.custom]
@@ -513,7 +548,8 @@ def main(argv=None):
             _stage("Running SDP small Otti dataset")
             files = listdir("SDP/small")
         ok = run_sdp(files, args.out, prove, args.zk, args.resume,
-                     snark=args.snark, epsilon=args.epsilon)
+                     snark=args.snark, epsilon=args.epsilon,
+                     emit_zkif=args.emit_zkif)
     elif args.sgd:
         if args.full:
             _stage("Running SGD full Otti dataset")
@@ -525,6 +561,7 @@ def main(argv=None):
                 resume=args.resume,
                 batch=args.batch,
                 snark=args.snark,
+                emit_zkif=args.emit_zkif,
             )
             _stage("Running SGD probabilistic Otti dataset")
             ok &= run_sgd(
@@ -536,6 +573,7 @@ def main(argv=None):
                 resume=args.resume,
                 batch=args.batch,
                 snark=args.snark,
+                emit_zkif=args.emit_zkif,
             )
         else:
             _stage("Running SGD small Otti dataset")
@@ -547,6 +585,7 @@ def main(argv=None):
                 resume=args.resume,
                 batch=args.batch,
                 snark=args.snark,
+                emit_zkif=args.emit_zkif,
             )
     else:
         parser.print_help()

@@ -72,8 +72,11 @@ def synthesize(dataset: str, c1: int, c2: int, seed: int = 0):
 
 
 def fetch(dataset: str, c1: int, c2: int, seed: int = 0):
-    """(X_int, y_pm1) filtered to the two classes, as the reference does
-    (sgdcodegen.py:32-33: ints, labels mapped to +-1)."""
+    """(X_int, y_pm1, source) filtered to the two classes, as the reference
+    does (sgdcodegen.py:32-33: X .astype(int) truncation, labels mapped to
+    +-1).  ``source`` is "pmlb_cache" for real benchmark data (the in-repo
+    datasets/pmlb_cache TSVs, e.g. the canonical UCI iris/wine) or
+    "synthetic" for the hermetic fallback."""
     for path in _cache_paths(dataset):
         sep = "\t" if path.endswith(".tsv") else ","
         import csv
@@ -89,10 +92,10 @@ def fetch(dataset: str, c1: int, c2: int, seed: int = 0):
         data = data[mask]
         y = np.where(data[:, t_idx] == c1, 1, -1).astype(np.int64)
         X = np.delete(data, t_idx, axis=1).astype(np.int64)
-        return X, y
+        return X, y, "pmlb_cache"
     X, labels = synthesize(dataset, c1, c2, seed)
     y = np.where(labels == c1, 1, -1).astype(np.int64)
-    return X, y
+    return X, y, "synthetic"
 
 
 def load_config(json_path: str) -> dict:

@@ -300,17 +300,18 @@ def prove_many(devs: list, vars_list: list, inputs_list: list) -> list:
         u_ints = [int(v) for v in F.pack_ints(SCALAR, u)]
         claim_w = _mle_eval_host(vars_padded[b], r_w)
         t = transcripts[b]
-        for v in u_ints:
-            t.append_scalar(b"eval_u", _sb(v))
         t.append_scalar(b"claim_w", _sb(claim_w))
+        from .nizk import _prove_opening
+
+        proof_bullet = _prove_opening(t, mu_rows, mu_cols, r_w, u_ints, claim_w)
         proofs.append(
             NIZKProof(
                 comm_vars=comm_encs[b],
                 phase1_polys=p1s[b],
                 claims_abc=(vAs[b], vBs[b], vCs[b]),
                 phase2_polys=p2s[b],
-                eval_u=u_ints,
                 claim_w=claim_w,
+                bullet=proof_bullet,
             )
         )
     return proofs

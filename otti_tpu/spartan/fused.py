@@ -140,10 +140,8 @@ def _core(
         )
         state2, _, _ = carry
 
-        # ---- Hyrax opening of W at ry[1:] ----------------------------------
-        t = DeviceTranscript(
-            _strobe=DeviceStrobe.from_state(state2, *_POST_CHALLENGE)
-        )
+        # ---- Hyrax opening materials (u, claim_w); the log-sized bullet
+        # argument itself runs on the host tail (nizk._prove_opening) ------
         r_w = rys[1:]
         W = z[:num_vars].reshape(1 << mu_rows, 1 << mu_cols, -1)
         if mu_rows:
@@ -156,9 +154,6 @@ def _core(
         )
         eq_w = mle._eq_table_impl(r_w)
         claim_w = F.canon(SCALAR, F.dot(SCALAR, eq_w, z[:num_vars]))
-        for c in range(1 << mu_cols):
-            t.append_scalar_limbs(b"eval_u", u[c])
-        t.append_scalar_limbs(b"claim_w", claim_w)
 
         return enc, rounds1, jnp.stack([vA, vB, vC]), rounds2, u, claim_w
 
@@ -239,19 +234,25 @@ def prove(
     r_c = t.challenge_scalar(b"challenge_Cz")
     e = (r_a * vA + r_b * vB + r_c * vC) % MOD
     p2 = []
+    ry = []
     for e0, e2 in r2_ints:
         e1 = (e - e0) % MOD
         t.append_scalar(b"sc2/e0", nizk._sb(e0))
         t.append_scalar(b"sc2/e2", nizk._sb(e2))
         r = t.challenge_scalar(b"sc2/r")
         p2.append([e0, e1, e2])
+        ry.append(r)
         e = sumcheck.lagrange_eval([e0, e1, e2], r)
 
+    t.append_scalar(b"claim_w", nizk._sb(claim_w))
+    proof_bullet = nizk._prove_opening(
+        t, mu_rows, mu_cols, ry[1:], u_ints, claim_w
+    )
     return nizk.NIZKProof(
         comm_vars=comm_enc,
         phase1_polys=p1,
         claims_abc=(vA, vB, vC),
         phase2_polys=p2,
-        eval_u=u_ints,
         claim_w=claim_w,
+        bullet=proof_bullet,
     )

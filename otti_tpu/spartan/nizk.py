@@ -45,6 +45,20 @@ def _dev_vec(xs):
     return jnp.asarray(ints_to_limbs([x % MOD for x in xs]))
 
 
+def _eq_weights(r: list) -> list:
+    """eq table of a challenge list as host ints, matching mle.eq_table's
+    convention (r[0] = MSB of the index: each new variable interleaves as
+    the LSB)."""
+    out = [1]
+    for rj in r:
+        nxt = []
+        for x in out:
+            nxt.append(x * ((1 - rj) % MOD) % MOD)
+            nxt.append(x * rj % MOD)
+        out = nxt
+    return out
+
+
 def _eq_point(a: list, b: list) -> int:
     """eq(a, b) = prod_i (a_i b_i + (1-a_i)(1-b_i)) over ints."""
     acc = 1
@@ -73,17 +87,16 @@ class NIZKProof:
     phase1_polys: list  # per-round [e0,e1,e2,e3]
     claims_abc: tuple  # (vA, vB, vC)
     phase2_polys: list  # per-round [e0,e1,e2]
-    eval_u: list  # Hyrax opening row-combination vector (ints)
     claim_w: int  # claimed W(ry[1:])
+    bullet: object  # log-sized Hyrax opening (bullet.BulletOpeningProof)
 
     def size_bytes(self) -> int:
         n_scalars = (
             sum(len(p) for p in self.phase1_polys)
             + sum(len(p) for p in self.phase2_polys)
-            + len(self.eval_u)
             + 4
         )
-        return 32 * (n_scalars + len(self.comm_vars))
+        return 32 * (n_scalars + len(self.comm_vars)) + self.bullet.size_bytes()
 
 
 def _hyrax_dims(num_vars_padded: int):
@@ -169,25 +182,59 @@ def prove(
         p2, ry, (f_m, f_z), e2 = sumcheck.prove_quad(claim2, m_table, z, t, b"sc2")
 
     # ---- witness opening at ry[1:] ---------------------------------------
-    # Z(y) = (1-y0) W(y_1..) + y0 IO(y_1..); prove W(ry[1:]) via Hyrax rows.
+    # Z(y) = (1-y0) W(y_1..) + y0 IO(y_1..); prove W(ry[1:]) via Hyrax rows
+    # + the log-sized bullet argument on the row combination u.
     r_w = ry[1:]
     eq_L = mle.eq_table(_dev_vec(r_w[:mu_rows])) if mu_rows else F.ones(SCALAR, (1,))
     # u = L^T @ W_matrix  (row combination)
     u = _row_combine_jit(W.shape[:2])(eq_L, W)
     u_ints = [int(v) for v in F.pack_ints(SCALAR, u)]
     claim_w = _mle_eval_host(vars_padded, r_w)
-    for v in u_ints:
-        t.append_scalar(b"eval_u", _sb(v))
     t.append_scalar(b"claim_w", _sb(claim_w))
+    proof_bullet = _prove_opening(t, mu_rows, mu_cols, r_w, u_ints, claim_w)
 
     return NIZKProof(
         comm_vars=comm_enc,
         phase1_polys=p1,
         claims_abc=(vA, vB, vC),
         phase2_polys=p2,
-        eval_u=u_ints,
         claim_w=claim_w,
+        bullet=proof_bullet,
     )
+
+
+def _prove_opening(t, mu_rows, mu_cols, r_w, u_ints, claim_w):
+    """Transparent log-sized opening: bullet argument for
+    <u, eq_R(r_w)> == claim_w against P = C_u + claim_w*Q (all blinds 0).
+
+    Shared by the classic, fused, batched, and sharded plain provers —
+    each computes u on device, then runs this identical host tail so the
+    transcript schedule (and thus the proofs) stay byte-identical."""
+    from . import bullet
+
+    R = _eq_weights(r_w[mu_rows:])
+    G, H = commitments.gen_points_host(1 << mu_cols, GENS_LABEL)
+    Q = bullet.q_point_host(GENS_LABEL)
+    return bullet.prove(t, list(G), H, Q, u_ints, R, 0, rng=None)
+
+
+def _verify_opening(t, mu_rows, mu_cols, r_w, comm_vars, claim_w, proof_bullet):
+    """Verify the transparent bullet opening against the row commitments
+    (shared by nizk.verify and snark.verify)."""
+    from ..native import msm_host, ristretto_decode_host
+    from . import bullet
+
+    if len(comm_vars) != (1 << mu_rows):
+        return False
+    Lw = _eq_weights(r_w[:mu_rows])
+    rows_pts = [ristretto_decode_host(enc) for enc in comm_vars]
+    if any(p is None for p in rows_pts):
+        return False
+    G, H = commitments.gen_points_host(1 << mu_cols, GENS_LABEL)
+    Q = bullet.q_point_host(GENS_LABEL)
+    P = msm_host(rows_pts + [Q], Lw + [claim_w % MOD])
+    R = _eq_weights(r_w[mu_rows:])
+    return bullet.verify(t, list(G), H, Q, R, P, proof_bullet)
 
 
 def verify(dev: r1cs.R1CSDevice, inputs_ints: list, proof: NIZKProof) -> bool:
@@ -225,34 +272,18 @@ def _verify_inner(dev: r1cs.R1CSDevice, inputs_ints: list, proof: NIZKProof) -> 
     e2, ry = sumcheck.verify_rounds(claim2, proof.phase2_polys, 2, t, b"sc2")
 
     # replay opening messages
-    for v in proof.eval_u:
-        t.append_scalar(b"eval_u", _sb(v))
     t.append_scalar(b"claim_w", _sb(proof.claim_w))
 
     nvp = dev.num_vars
     mu_rows, mu_cols = _hyrax_dims(nvp)
 
-    # (a) Hyrax opening: commit(u) must equal sum_i L_i * C_i
+    # Hyrax opening via the bullet argument:
+    # P = sum_i L_i * C_i + claim_w * Q must open to <u, eq_R> = claim_w
     # (eq weights follow mle.eq_table's MSB-first convention)
-    from .zknizk import _eq_weights
-
     r_w = ry[1:]
-    L = _eq_weights(r_w[:mu_rows])
-    from ..native import msm_host, ristretto_decode_host
-
-    rows_pts = [ristretto_decode_host(enc) for enc in proof.comm_vars]
-    if any(p is None for p in rows_pts):
-        return False
-    lhs = msm_host(rows_pts, L)
-    G, _ = commitments.gen_points_host(1 << mu_cols, GENS_LABEL)
-    rhs = msm_host(list(G[: len(proof.eval_u)]), list(proof.eval_u))
-    if not lhs.ristretto_eq(rhs):
-        return False
-
-    # (b) inner product <u, eq_R(r)> == claim_w
-    R = _eq_weights(r_w[mu_rows:])
-    ip = sum(u * r for u, r in zip(proof.eval_u, R)) % MOD
-    if ip != proof.claim_w:
+    if not _verify_opening(
+        t, mu_rows, mu_cols, r_w, proof.comm_vars, proof.claim_w, proof.bullet
+    ):
         return False
 
     # (c) final phase-2 identity: e2 == M(ry) * Z(ry)

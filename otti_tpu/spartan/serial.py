@@ -12,16 +12,18 @@ import dataclasses
 import json
 from typing import Any
 
-from . import nizk, sigma, snark, spark, zknizk, zksumcheck
+from . import bullet, nizk, sigma, snark, spark, zknizk, zksumcheck
 
 _CLASSES = {
     cls.__name__: cls
     for cls in (
+        bullet.BulletOpeningProof,
         nizk.NIZKProof,
         zknizk.ZKNIZKProof,
         zksumcheck.ZKSumcheckProof,
         sigma.KnowledgeProof,
         sigma.EqualityProof,
+        sigma.DualBaseEqualityProof,
         sigma.ProductProof,
         sigma.DotProductProof,
         snark.SNARKProof,

@@ -173,6 +173,79 @@ class ProductProof:
 
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass
+class DualBaseEqualityProof:
+    """C1 = v*G + b1*H and C2 = v*Q + b2*H commit the same value under two
+    independent scalar bases (AND-composed Schnorr).  Ties the G0-based
+    claim commitments to the Q-based commitment the bullet opening needs
+    (Q must be independent of the vector generator family)."""
+
+    alpha: bytes
+    beta: bytes
+    z: int
+    z1: int
+    z2: int
+
+    @staticmethod
+    def prove(
+        t: Transcript,
+        G: ref.EdPoint,
+        Q: ref.EdPoint,
+        H: ref.EdPoint,
+        v: int,
+        b1: int,
+        b2: int,
+        rng: BlindSource,
+    ):
+        t.append_protocol_name(b"dual base equality proof")
+        C1 = msm_host([G, H], [v % L, b1 % L])
+        C2 = msm_host([Q, H], [v % L, b2 % L])
+        _ap(t, b"C1", C1)
+        _ap(t, b"C2", C2)
+        d, s1, s2 = rng.scalars(3)
+        alpha = msm_host([G, H], [d, s1])
+        beta = msm_host([Q, H], [d, s2])
+        _ap(t, b"alpha", alpha)
+        _ap(t, b"beta", beta)
+        c = _ch(t, b"c")
+        return (
+            DualBaseEqualityProof(
+                alpha.ristretto_encode(),
+                beta.ristretto_encode(),
+                (d + c * v) % L,
+                (s1 + c * b1) % L,
+                (s2 + c * b2) % L,
+            ),
+            C1,
+            C2,
+        )
+
+    def verify(
+        self,
+        t: Transcript,
+        G: ref.EdPoint,
+        Q: ref.EdPoint,
+        H: ref.EdPoint,
+        C1: ref.EdPoint,
+        C2: ref.EdPoint,
+    ) -> bool:
+        t.append_protocol_name(b"dual base equality proof")
+        _ap(t, b"C1", C1)
+        _ap(t, b"C2", C2)
+        alpha, beta = decode(self.alpha), decode(self.beta)
+        _ap(t, b"alpha", alpha)
+        _ap(t, b"beta", beta)
+        c = _ch(t, b"c")
+        ok1 = msm_host([G, H], [self.z, self.z1]).ristretto_eq(
+            msm_host([C1], [c]) + alpha
+        )
+        ok2 = msm_host([Q, H], [self.z, self.z2]).ristretto_eq(
+            msm_host([C2], [c]) + beta
+        )
+        return ok1 and ok2
+
+
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
 class DotProductProof:
     """<x, a> = y for committed vector x (C_x) and committed scalar y (C_y),
     public weight vector a.  Linear-size (|x| scalars) — Spartan's

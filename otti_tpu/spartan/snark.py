@@ -89,6 +89,8 @@ def _replay_transcript(dev, inputs_ints, base) -> Transcript:
 
 
 def _replay_points(dev, base, t):
+    from . import bullet
+
     mu_x = (dev.num_cons - 1).bit_length()
     t.challenge_vector(b"challenge_tau", mu_x)
     _, rx = sumcheck.verify_rounds(0, base.phase1_polys, 3, t, b"sc1")
@@ -101,9 +103,9 @@ def _replay_points(dev, base, t):
     r_c = t.challenge_scalar(b"challenge_Cz")
     claim2 = (r_a * vA + r_b * vB + r_c * vC) % MOD
     _, ry = sumcheck.verify_rounds(claim2, base.phase2_polys, 2, t, b"sc2")
-    for v in base.eval_u:
-        t.append_scalar(b"eval_u", _sb(v))
     t.append_scalar(b"claim_w", _sb(base.claim_w))
+    _, mu_cols = nizk._hyrax_dims(dev.num_vars)
+    bullet.replay(t, base.bullet, 1 << mu_cols)
     return rx, ry
 
 
@@ -137,29 +139,15 @@ def _verify_inner(dev, comm, inputs_ints, proof) -> bool:
     r_c = t.challenge_scalar(b"challenge_Cz")
     claim2 = (r_a * vA + r_b * vB + r_c * vC) % MOD
     e2, ry = sumcheck.verify_rounds(claim2, base.phase2_polys, 2, t, b"sc2")
-    for v in base.eval_u:
-        t.append_scalar(b"eval_u", _sb(v))
     t.append_scalar(b"claim_w", _sb(base.claim_w))
 
-    # Hyrax witness opening (same as NIZK)
+    # Hyrax witness opening via the log-sized bullet argument (same as NIZK)
     nvp = dev.num_vars
     mu_rows, mu_cols = nizk._hyrax_dims(nvp)
-    from ..native import msm_host, ristretto_decode_host
-    from .zknizk import _eq_weights
-    from . import commitments
-
     r_w = ry[1:]
-    Lw = _eq_weights(r_w[:mu_rows])
-    rows_pts = [ristretto_decode_host(enc) for enc in base.comm_vars]
-    if any(p is None for p in rows_pts):
-        return False
-    lhs = msm_host(rows_pts, Lw)
-    G, _ = commitments.gen_points_host(1 << mu_cols, nizk.GENS_LABEL)
-    rhs = msm_host(list(G[: len(base.eval_u)]), list(base.eval_u))
-    if not lhs.ristretto_eq(rhs):
-        return False
-    Rw = _eq_weights(r_w[mu_rows:])
-    if sum(u * r for u, r in zip(base.eval_u, Rw)) % MOD != base.claim_w:
+    if not nizk._verify_opening(
+        t, mu_rows, mu_cols, r_w, base.comm_vars, base.claim_w, base.bullet
+    ):
         return False
 
     # SNARK difference: matrix evals come from the proof + SPARK

@@ -244,8 +244,6 @@ def _core(
         prod_blinds,  # [5, L]
         eq1_a,  # [L]
         sc2_blinds,
-        open_blinds,  # (d_open [cols, L], b_w [L], r_delta [L], r_beta [L])
-        eq2_a,  # [L]
         *flat,
     ):
         t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
@@ -377,11 +375,10 @@ def _core(
         )
         state2, _, _, e2, be2 = carry
 
-        # ---- blinded Hyrax opening ----------------------------------------
-        t = DeviceTranscript(
-            _strobe=DeviceStrobe.from_state(state2, *_POST_CHALLENGE)
-        )
-        d_open, b_w, r_delta_o, r_beta_o = open_blinds
+        # ---- opening materials + final-relation values (device) ------------
+        # the log-sized blinded bullet opening and the eq2 sigma proof run on
+        # the host tail (zknizk._opening_and_final_zk), resuming the sponge
+        # from state2 — only O(sqrt(n)) scalars cross the boundary.
         r_w = rys[1:]
         if mu_rows:
             eq_L = mle._eq_table_impl(r_w[:mu_rows])
@@ -391,81 +388,17 @@ def _core(
             SCALAR,
             F.sum_reduce(SCALAR, F.mul(SCALAR, eq_L[:, None, :], W), axis=0),
         )
-        b_u = F.dot(SCALAR, eq_L, row_blinds)
+        b_u = F.canon(SCALAR, F.dot(SCALAR, eq_L, row_blinds))
         eq_w = mle._eq_table_impl(r_w)
         w_eval = F.canon(SCALAR, F.dot(SCALAR, eq_w, z[:num_vars]))
-        if mu_cols:
-            eq_R = F.canon(SCALAR, mle._eq_table_impl(r_w[mu_rows:]))
-        else:
-            eq_R = F.ones(SCALAR, (1,))
-
-        t.append_message(b"protocol-name", b"dot product proof")
-        cols = 1 << mu_cols
-        C_u = jax.tree.map(
-            lambda a: a[0],
-            pippenger.msm_fixed_base(
-                cols,
-                GENS_LABEL,
-                jnp.concatenate([u, b_u[None]], axis=0)[None],
-                with_blind=True,
-            ),
-        )
-        C_w = _commit([w_eval, b_w])
-        enc_Cw = ristretto.encode(C_w)
-        t.append_message(b"Cx", ristretto.encode(C_u))
-        t.append_message(b"Cy", enc_Cw)
-        for i in range(cols):
-            t.append_scalar_limbs(b"a", eq_R[i])
-        delta_o = jax.tree.map(
-            lambda a: a[0],
-            pippenger.msm_fixed_base(
-                cols,
-                GENS_LABEL,
-                jnp.concatenate([d_open, r_delta_o[None]], axis=0)[None],
-                with_blind=True,
-            ),
-        )
-        enc_delta_o = ristretto.encode(delta_o)
-        dy_o = F.dot(SCALAR, d_open, eq_R)
-        beta_o = _commit([dy_o, r_beta_o])
-        enc_beta_o = ristretto.encode(beta_o)
-        t.append_message(b"delta", enc_delta_o)
-        t.append_message(b"beta", enc_beta_o)
-        c = t.challenge_scalar_limbs(b"c")
-        z_open = F.canon(
-            SCALAR, F.add(SCALAR, F.mul(SCALAR, c[None, :], u), d_open)
-        )
-        z_delta_o = F.canon(
-            SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_u), r_delta_o)
-        )
-        z_beta_o = F.canon(
-            SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_w), r_beta_o)
-        )
-
-        # ---- final relation equality proof --------------------------------
-        t.append_message(b"protocol-name", b"equality proof")
         e_ry = mle._eq_table_impl(rys)
         ea, eb, ec = r1cs._eval_jit()(e_rx, e_ry, *flat)
-        v_m = F.add(
-            SCALAR,
-            F.add(SCALAR, F.mul(SCALAR, r_a, ea), F.mul(SCALAR, r_b, eb)),
-            F.mul(SCALAR, r_c, ec),
-        )
-        ry0 = rys[0]
-        coeff_w = F.mul(SCALAR, v_m, F.sub(SCALAR, one, ry0))
-        r2_eq2 = F.mul(SCALAR, coeff_w, b_w)
-        C1_eq2 = _commit([e2, be2])
-        C2_eq2 = _commit([e2, r2_eq2])
-        t.append_message(b"C1", ristretto.encode(C1_eq2))
-        t.append_message(b"C2", ristretto.encode(C2_eq2))
-        alpha_eq2 = _commit([F.zeros(()), eq2_a])
-        enc_alpha_eq2 = ristretto.encode(alpha_eq2)
-        t.append_message(b"alpha", enc_alpha_eq2)
-        c = t.challenge_scalar_limbs(b"c")
-        z_eq2 = F.canon(
+        v_m = F.canon(
             SCALAR,
             F.add(
-                SCALAR, F.mul(SCALAR, c, F.sub(SCALAR, be2, r2_eq2)), eq2_a
+                SCALAR,
+                F.add(SCALAR, F.mul(SCALAR, r_a, ea), F.mul(SCALAR, r_b, eb)),
+                F.mul(SCALAR, r_c, ec),
             ),
         )
 
@@ -482,10 +415,11 @@ def _core(
             ]
         )
         mid_z = jnp.stack([z1, z2, z3, z4, z5, z_eq1])
-        open_encs = jnp.stack(
-            [enc_Cw, enc_delta_o, enc_beta_o, enc_alpha_eq2]
+        tail_vals = jnp.stack(
+            [b_u, w_eval, v_m, F.canon(SCALAR, e2), F.canon(SCALAR, be2)]
         )
         return (
+            state2,
             enc_rows,
             sc1_encs,
             sc1_z,
@@ -495,9 +429,9 @@ def _core(
             sc2_encs,
             sc2_z,
             sc2_zdb,
-            open_encs,
-            z_open,
-            jnp.stack([z_delta_o, z_beta_o, z_eq2]),
+            u,
+            tail_vals,
+            rys,
         )
 
     return jax.jit(run)
@@ -548,10 +482,8 @@ def prove(
     prod = rng.scalars(5)
     eq1_a = rng.scalar()
     sc2_blinds = sc_draws(mu_y, 2)
-    b_w = rng.scalar()
-    d_open = rng.scalars(cols)
-    r_delta_o, r_beta_o = rng.scalar(), rng.scalar()
-    eq2_a = rng.scalar()
+    # opening/eq2 blinds are drawn by the shared host tail
+    # (zknizk._opening_and_final_zk) — same rng position as zknizk.prove
 
     t = Transcript(PROTO)
     t.append_message(b"R1CS", dev.digest)
@@ -580,11 +512,10 @@ def prove(
             _devs(prod),
             _dev(eq1_a),
             sc2_blinds,
-            (_devs(d_open), _dev(b_w), _dev(r_delta_o), _dev(r_beta_o)),
-            _dev(eq2_a),
             *dev._flat_mats(),
         )
         (
+            state2,
             enc_rows,
             sc1_encs,
             sc1_z,
@@ -594,9 +525,9 @@ def prove(
             sc2_encs,
             sc2_z,
             sc2_zdb,
-            open_encs,
-            z_open,
-            tail_z,
+            u_limb,
+            tail_vals,
+            rys_limb,
         ) = jax.device_get(out)
     metrics.add("sumcheck_rounds", mu_x)
 
@@ -618,6 +549,28 @@ def prove(
         ]
         return ZKSumcheckProof(comm_polys, comm_evals, dots)
 
+    # ---- host tail: log-sized blinded opening + eq2 ------------------------
+    # resume the transcript from the device sponge state and run the SAME
+    # tail as zknizk.prove (same rng position -> byte-identical proofs)
+    from ..transcript.merlin import transcript_from_strobe_state
+    from .zknizk import _opening_and_final_zk, _max_gens
+    from .pedersen_host import Gens
+
+    t_tail = transcript_from_strobe_state(
+        np.asarray(state2).tobytes(), *_POST_CHALLENGE
+    )
+    gens = Gens(_max_gens(dev), GENS_LABEL)
+    u_ints = [_int(u_limb[k]) for k in range(cols)]
+    b_u, w_eval, v_m, e2, be2 = (_int(tail_vals[k]) for k in range(5))
+    rys = [_int(rys_limb[k]) for k in range(mu_y)]
+    r_w = rys[1:]
+    from .nizk import _eq_weights
+
+    enc_w, enc_wq, base_eq, proof_bullet, eq2_proof = _opening_and_final_zk(
+        t_tail, gens, mu_cols, u_ints, b_u, w_eval,
+        _eq_weights(r_w[mu_rows:]), v_m, rys[0], e2, be2, rng,
+    )
+
     return ZKNIZKProof(
         comm_vars=[enc(enc_rows[i]) for i in range(enc_rows.shape[0])],
         sc1=sc_proof(sc1_encs, sc1_z, sc1_zdb, mu_x, 3),
@@ -631,13 +584,9 @@ def prove(
         ),
         eq1=EqualityProof(alpha=enc(mid_encs[7]), z=_int(mid_z[5])),
         sc2=sc_proof(sc2_encs, sc2_z, sc2_zdb, mu_y, 2),
-        comm_w=enc(open_encs[0]),
-        dot_u=DotProductProof(
-            delta=enc(open_encs[1]),
-            beta=enc(open_encs[2]),
-            z=[_int(z_open[k]) for k in range(cols)],
-            z_delta=_int(tail_z[0]),
-            z_beta=_int(tail_z[1]),
-        ),
-        eq2=EqualityProof(alpha=enc(open_encs[3]), z=_int(tail_z[2])),
+        comm_w=enc_w,
+        comm_wq=enc_wq,
+        base_eq=base_eq,
+        bullet=proof_bullet,
+        eq2=eq2_proof,
     )

@@ -33,6 +33,7 @@ from .nizk import (
     _dev_scalar,
     _dev_vec,
     _eq_point,
+    _eq_weights,
     _hyrax_dims,
     _mle_eval_host,
     _row_combine_jit,
@@ -53,8 +54,10 @@ class ZKNIZKProof:
     proof_ab: sigma.ProductProof
     eq1: sigma.EqualityProof
     sc2: zksumcheck.ZKSumcheckProof
-    comm_w: bytes  # commitment to W(ry[1:])
-    dot_u: sigma.DotProductProof
+    comm_w: bytes  # commitment to W(ry[1:]) under base G0 (for eq2)
+    comm_wq: bytes  # same value under base Q (for the bullet opening)
+    base_eq: sigma.DualBaseEqualityProof  # comm_w == comm_wq in value
+    bullet: object  # log-sized blinded opening (bullet.BulletOpeningProof)
     eq2: sigma.EqualityProof
 
     def size_bytes(self) -> int:
@@ -67,18 +70,18 @@ class ZKNIZKProof:
             + 1
             + 3  # product proof points
             + 2  # equality alphas
-            + 2  # dot_u points
+            + 2  # comm_w + comm_wq
+            + 2  # base_eq alpha/beta
         )
         scalars = (
             sum(len(d.z) + 2 for d in self.sc1.dot_proofs)
             + sum(len(d.z) + 2 for d in self.sc2.dot_proofs)
             + 5
             + 1
-            + len(self.dot_u.z)
-            + 2
+            + 3  # base_eq z's
             + 1
         )
-        return 32 * (pts + scalars)
+        return 32 * (pts + scalars) + self.bullet.size_bytes()
 
 
 def _max_gens(dev: r1cs.R1CSDevice) -> int:
@@ -153,7 +156,7 @@ def prove(
         2, claim2, bclaim2, (m_table, z), t, b"sc2", gens, rng
     )
 
-    # ---- Hyrax opening (ZK) ----------------------------------------------
+    # ---- Hyrax opening (ZK, log-sized) + final relation -------------------
     r_w = ry[1:]
     eq_L = mle.eq_table(_dev_vec(r_w[:mu_rows])) if mu_rows else F.ones(SCALAR, (1,))
     u = _row_combine_jit(W.shape[:2])(eq_L, W)
@@ -161,24 +164,14 @@ def prove(
     L_weights = _eq_weights(r_w[:mu_rows])
     b_u = sum(li * bi for li, bi in zip(L_weights, row_blinds)) % L
     w_eval = _mle_eval_host(vars_padded, r_w)
-    b_w = rng.scalar()
-    R_weights = _eq_weights(r_w[mu_rows:])
-    dot_u, _, C_w = sigma.DotProductProof.prove(
-        t, gens, u_ints, b_u, R_weights, w_eval, b_w, rng
-    )
 
-    # ---- final relation ---------------------------------------------------
-    io = [1] + list(inputs_ints) + [0] * (nvp - 1 - len(inputs_ints))
-    v_io = _mle_eval_host(io, r_w)
-    ry0 = ry[0]
-    e_rx2 = e_rx
     e_ry = mle.eq_table(_dev_vec(ry))
-    ea, eb, ec = (int(F.pack_ints(SCALAR, v)) for v in dev.eval_at(e_rx2, e_ry))
+    ea, eb, ec = (int(F.pack_ints(SCALAR, v)) for v in dev.eval_at(e_rx, e_ry))
     v_m = (r_a * ea + r_b * eb + r_c * ec) % L
-    # e2 == v_m * ((1-ry0) * w_eval + ry0 * v_io)
-    coeff_w = v_m * (1 - ry0) % L
-    eq2_proof, _, _ = sigma.EqualityProof.prove(
-        t, gens, e2, be2, coeff_w * b_w % L, rng
+
+    enc_w, enc_wq, base_eq, proof_bullet, eq2_proof = _opening_and_final_zk(
+        t, gens, mu_cols, u_ints, b_u, w_eval,
+        _eq_weights(r_w[mu_rows:]), v_m, ry[0], e2, be2, rng,
     )
 
     return ZKNIZKProof(
@@ -193,24 +186,59 @@ def prove(
         proof_ab=proof_ab,
         eq1=eq1_proof,
         sc2=sc2,
-        comm_w=C_w.ristretto_encode(),
-        dot_u=dot_u,
+        comm_w=enc_w,
+        comm_wq=enc_wq,
+        base_eq=base_eq,
+        bullet=proof_bullet,
         eq2=eq2_proof,
     )
 
 
-def _eq_weights(r: list) -> list:
-    """eq table of a challenge list as host ints, matching mle.eq_table's
-    convention (r[0] = MSB of the index: each new variable interleaves as
-    the LSB)."""
-    out = [1]
-    for rj in r:
-        nxt = []
-        for x in out:
-            nxt.append(x * ((1 - rj) % L) % L)
-            nxt.append(x * rj % L)
-        out = nxt
-    return out
+def _opening_and_final_zk(
+    t, gens, mu_cols, u_ints, b_u, w_eval, R_weights, v_m, ry0, e2, be2, rng
+):
+    """Blinded log-sized opening + final-relation proof (host tail).
+
+    Shared verbatim by zknizk.prove and zkfused.prove so both paths draw
+    blinds in the same order and absorb byte-identical messages:
+      1. commit w_eval under G0 (comm_w, feeds eq2) and under Q (comm_wq);
+         DualBaseEqualityProof ties the two.
+      2. bullet argument on P = C_u + comm_wq with blind b_u + b_wq:
+         <u, eq_R> == w_eval, where C_u = sum_i L_i * comm_vars_i.
+      3. EqualityProof: e2 == v_m * ((1-ry0)*w_eval + ry0*v_io).
+    """
+    from ..native import msm_host
+    from . import bullet as bullet_mod
+
+    Q = bullet_mod.q_point_host(GENS_LABEL)
+    b_w = rng.scalar()
+    b_wq = rng.scalar()
+    C_w = commit(w_eval, b_w, gens)
+    C_wq = msm_host([Q, gens.H], [w_eval % L, b_wq % L])
+    base_eq, _, _ = sigma.DualBaseEqualityProof.prove(
+        t, gens.G[0], Q, gens.H, w_eval, b_w, b_wq, rng
+    )
+    proof_bullet = bullet_mod.prove(
+        t,
+        list(gens.G[: 1 << mu_cols]),
+        gens.H,
+        Q,
+        u_ints,
+        R_weights,
+        (b_u + b_wq) % L,
+        rng,
+    )
+    coeff_w = v_m * (1 - ry0) % L
+    eq2_proof, _, _ = sigma.EqualityProof.prove(
+        t, gens, e2, be2, coeff_w * b_w % L, rng
+    )
+    return (
+        C_w.ristretto_encode(),
+        C_wq.ristretto_encode(),
+        base_eq,
+        proof_bullet,
+        eq2_proof,
+    )
 
 
 def verify(dev: r1cs.R1CSDevice, inputs_ints: list, proof: ZKNIZKProof) -> bool:
@@ -260,16 +288,24 @@ def _verify_inner(dev, inputs_ints, proof) -> bool:
     mu_y = (dev.num_z - 1).bit_length()
     ry, C_e2 = zksumcheck.verify_zk(2, proof.sc2, C_claim2, mu_y, t, b"sc2", gens)
 
-    # Hyrax opening
+    # Hyrax opening (log-sized): dual-base tie + bullet argument
     from ..native import msm_host
+    from . import bullet as bullet_mod
 
     r_w = ry[1:]
     L_weights = _eq_weights(r_w[:mu_rows])
     rows_pts = [decode(enc) for enc in proof.comm_vars]
     C_u = msm_host(rows_pts, L_weights)
     C_w = decode(proof.comm_w)
+    C_wq = decode(proof.comm_wq)
+    Q = bullet_mod.q_point_host(GENS_LABEL)
+    if not proof.base_eq.verify(t, gens.G[0], Q, gens.H, C_w, C_wq):
+        return False
     R_weights = _eq_weights(r_w[mu_rows:])
-    if not proof.dot_u.verify(t, gens, R_weights, C_u, C_w):
+    P = C_u + C_wq
+    if not bullet_mod.verify(
+        t, list(gens.G[: 1 << mu_cols]), gens.H, Q, R_weights, P, proof.bullet
+    ):
         return False
 
     # final relation

@@ -115,6 +115,23 @@ def _strobe_factory(label: bytes):
     return Strobe128(label)
 
 
+def transcript_from_strobe_state(
+    state_bytes: bytes, pos: int, pos_begin: int, cur_flags: int
+) -> "Transcript":
+    """Resume a host Transcript from an exported sponge state (the inverse
+    of device.export_host_strobe): lets a host tail continue a transcript
+    the fused device prover advanced.  Always pure-Python Strobe128 — byte-
+    identical to the native strobe."""
+    t = Transcript.__new__(Transcript)
+    s = Strobe128.__new__(Strobe128)
+    s.state = bytearray(state_bytes)
+    s.pos = pos
+    s.pos_begin = pos_begin
+    s.cur_flags = cur_flags
+    t.strobe = s
+    return t
+
+
 class Transcript:
     """Merlin transcript with the Spartan-flavoured append/challenge API."""
 

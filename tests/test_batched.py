@@ -19,7 +19,7 @@ def test_batched_matches_single():
     single = nizk.prove(devs[1], vars_list[1], inputs_list[1])
     assert single.phase1_polys == proofs[1].phase1_polys
     assert single.claims_abc == proofs[1].claims_abc
-    assert single.eval_u == proofs[1].eval_u
+    assert single.bullet == proofs[1].bullet
     assert single.comm_vars == proofs[1].comm_vars
 
 

@@ -39,7 +39,11 @@ def test_builder_range_check_rejects():
 
 
 def test_sgd_certificate_pipeline():
-    X, y = pmlb_local.fetch("iris", 0, 1, seed=3)
+    X, y, src = pmlb_local.fetch("iris", 0, 1, seed=3)
+    # iris is REAL benchmark data embedded in-repo (the canonical UCI
+    # iris, = PMLB's iris; reference trains on it via pmlb fetch_data)
+    assert src == "pmlb_cache"
+    assert X.shape == (100, 4)
     w = sgd_oracle.solve(X, y, seed=3)
     assert np.all(y * (X @ w) >= 1)
     shape, vars_, inputs = sgd_cert.build(X, y, w)
@@ -49,7 +53,7 @@ def test_sgd_certificate_pipeline():
 
 
 def test_sgd_certificate_rejects_bad_weights():
-    X, y = pmlb_local.fetch("iris", 0, 1, seed=3)
+    X, y, src = pmlb_local.fetch("iris", 0, 1, seed=3)
     w = sgd_oracle.solve(X, y, seed=3)
     bad_w = np.array(w)
     bad_w[0] += 1000  # breaks at least one margin on typical data
@@ -60,7 +64,7 @@ def test_sgd_certificate_rejects_bad_weights():
 
 
 def test_sgd_prob_mode_half_samples():
-    X, y = pmlb_local.fetch("iris", 0, 1, seed=3)
+    X, y, src = pmlb_local.fetch("iris", 0, 1, seed=3)
     w = sgd_oracle.solve(X, y, seed=3)
     full, _, _ = sgd_cert.build(X, y, w)
     half, _, _ = sgd_cert.build(X, y, w, prob=True)

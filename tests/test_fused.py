@@ -50,7 +50,7 @@ def test_fused_matches_classic(n_cons, n_vars, n_inputs):
     assert p_fused.phase1_polys == p_classic.phase1_polys
     assert p_fused.claims_abc == p_classic.claims_abc
     assert p_fused.phase2_polys == p_classic.phase2_polys
-    assert p_fused.eval_u == p_classic.eval_u
+    assert p_fused.bullet == p_classic.bullet
     assert p_fused.claim_w == p_classic.claim_w
 
     assert nizk.verify(dev, inputs, p_fused)

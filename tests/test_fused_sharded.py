@@ -48,6 +48,6 @@ def test_sharded_matches_single_chip(k, n_cons, n_vars, n_inputs):
     assert pk.phase1_polys == p1.phase1_polys
     assert pk.claims_abc == p1.claims_abc
     assert pk.phase2_polys == p1.phase2_polys
-    assert pk.eval_u == p1.eval_u
+    assert pk.bullet == p1.bullet
     assert pk.claim_w == p1.claim_w
     assert nizk.verify(dev, inputs, pk)

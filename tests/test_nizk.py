@@ -90,9 +90,12 @@ def test_nizk_soundness_tampered_proof():
     # tamper with claimed evaluation
     bad2 = dataclasses.replace(proof, claim_w=(proof.claim_w + 1) % MOD)
     assert not nizk.verify(dev, ios, bad2)
-    # tamper with the opening vector
+    # tamper with the bullet opening argument
     bad3 = dataclasses.replace(
-        proof, eval_u=[(proof.eval_u[0] + 1) % MOD] + proof.eval_u[1:]
+        proof,
+        bullet=dataclasses.replace(
+            proof.bullet, z1=(proof.bullet.z1 + 1) % MOD
+        ),
     )
     assert not nizk.verify(dev, ios, bad3)
 

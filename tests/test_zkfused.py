@@ -52,8 +52,6 @@ def test_zkfused_randomized_and_sound():
     assert zknizk.verify(dev, ios, p1) and zknizk.verify(dev, ios, p2)
     bad = dataclasses.replace(
         p1,
-        dot_u=dataclasses.replace(
-            p1.dot_u, z=[(p1.dot_u.z[0] + 1) % MOD] + p1.dot_u.z[1:]
-        ),
+        bullet=dataclasses.replace(p1.bullet, z1=(p1.bullet.z1 + 1) % MOD),
     )
     assert not zknizk.verify(dev, ios, bad)

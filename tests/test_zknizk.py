@@ -42,14 +42,22 @@ def test_zk_soundness_tampered():
     # tamper the witness-eval commitment
     bad2 = dataclasses.replace(proof, comm_w=proof.comm_vars[0])
     assert not zknizk.verify(dev, ios, bad2)
-    # tamper a sigma response
+    # tamper the bullet opening response
     bad3 = dataclasses.replace(
         proof,
-        dot_u=dataclasses.replace(
-            proof.dot_u, z=[(proof.dot_u.z[0] + 1) % MOD] + proof.dot_u.z[1:]
+        bullet=dataclasses.replace(
+            proof.bullet, z1=(proof.bullet.z1 + 1) % MOD
         ),
     )
     assert not zknizk.verify(dev, ios, bad3)
+    # tamper the dual-base tie
+    bad4 = dataclasses.replace(
+        proof,
+        base_eq=dataclasses.replace(
+            proof.base_eq, z=(proof.base_eq.z + 1) % MOD
+        ),
+    )
+    assert not zknizk.verify(dev, ios, bad4)
 
 
 def test_zk_proofs_are_randomized():
