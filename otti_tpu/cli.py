@@ -279,6 +279,25 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
 
     ok_all = True
     out_dir = os.path.join(home_out, "SDP")
+    def lower_one(path):
+        """Host pipeline stage (parse -> oracle -> Cholesky -> lower) on a
+        worker thread: instance i+1 lowers while instance i proves on
+        device — same stage overlap as the LP driver (SURVEY.md §2.3)."""
+        timer = Timer()
+        with timer.time("parse"):
+            prob = sdpa.parse_dats(path)
+        with timer.time("oracle"):
+            X, y, S = sdp_oracle.solve(prob)
+        with timer.time("lower"):
+            Lx = sdp_oracle.cholesky_witness(X)
+            Ls = sdp_oracle.cholesky_witness(S)
+            kw = {} if epsilon is None else {"epsilon": epsilon}
+            shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls, **kw)
+        return shape, vars_, inputs, timer
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = []
     for path in files:
         name = os.path.basename(path)
         if not name.endswith(".dat-s"):
@@ -287,30 +306,27 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
         if resume and already_verified(out_dir, name):
             _stage(f"Skipping {name} (already verified)")
             continue
-        timer = Timer()
-        _stage(f"Making certificate for {name}")
-        try:
-            with timer.time("parse"):
-                prob = sdpa.parse_dats(path)
-            with timer.time("oracle"):
-                X, y, S = sdp_oracle.solve(prob)
-            with timer.time("lower"):
-                Lx = sdp_oracle.cholesky_witness(X)
-                Ls = sdp_oracle.cholesky_witness(S)
-                kw = {} if epsilon is None else {"epsilon": epsilon}
-                shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls, **kw)
-            if prove:
-                ok_all &= prove_and_verify(
-                    shape, vars_, inputs, name, timer, out_dir, zk, snark,
-                    emit_zkif,
-                )
-            else:
-                _stage(
-                    f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]"
-                )
-        except Exception as e:
-            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
-            ok_all = False
+        todo.append(path)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futures = [(p, ex.submit(lower_one, p)) for p in todo]
+        for path, fut in futures:
+            name = os.path.basename(path)
+            _stage(f"Making certificate for {name}")
+            try:
+                shape, vars_, inputs, timer = fut.result()
+                if prove:
+                    ok_all &= prove_and_verify(
+                        shape, vars_, inputs, name, timer, out_dir, zk,
+                        snark, emit_zkif,
+                    )
+                else:
+                    _stage(
+                        f"  lowered {name}: {shape.num_cons} constraints "
+                        f"[{timer.report()}]"
+                    )
+            except Exception as e:
+                _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+                ok_all = False
     return ok_all
 
 
@@ -324,44 +340,63 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
     ok_all = True
     out_dir = os.path.join(home_out, "SGD")
     lowered = []
-    for dataset, params in cfg.items():
+
+    def lower_one(dataset, params):
+        """Host pipeline stage (fetch -> SGD oracle -> lower) on a worker
+        thread, overlapping the previous instance's device proving."""
         timer = Timer()
+        with timer.time("fetch"):
+            X, ypm, data_source = pmlb_local.fetch(
+                dataset, params["classes"][0], params["classes"][1],
+                params["seed"],
+            )
+        with timer.time("oracle"):
+            w = sgd_oracle.solve(
+                X,
+                ypm,
+                seed=params["seed"],
+                eta0=params["eta0"],
+                maxiter=params["maxiter"],
+                tol=params["tol"],
+            )
+        with timer.time("lower"):
+            shape, vars_, inputs = sgd_cert.build(X, ypm, w, prob=prob_check)
+        return shape, vars_, inputs, data_source, X.shape, timer
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = []
+    for dataset, params in cfg.items():
         name = ("prob_" if prob_check else "") + dataset
         if resume and already_verified(out_dir, name):
             _stage(f"Skipping {name} (already verified)")
             continue
-        _stage(f"Compile, solve, and prove {dataset}")
-        try:
-            with timer.time("fetch"):
-                X, ypm, data_source = pmlb_local.fetch(
-                    dataset, params["classes"][0], params["classes"][1], params["seed"]
-                )
-            _stage(f"  data: {data_source} ({X.shape[0]}x{X.shape[1]})")
-            with timer.time("oracle"):
-                w = sgd_oracle.solve(
-                    X,
-                    ypm,
-                    seed=params["seed"],
-                    eta0=params["eta0"],
-                    maxiter=params["maxiter"],
-                    tol=params["tol"],
-                )
-            with timer.time("lower"):
-                shape, vars_, inputs = sgd_cert.build(X, ypm, w, prob=prob_check)
-            if prove and batch:
-                lowered.append((name, shape, vars_, inputs, timer))
-            elif prove:
-                ok_all &= prove_and_verify(
-                    shape, vars_, inputs, name, timer, out_dir, zk, snark,
-                    emit_zkif,
-                )
-            else:
-                _stage(
-                    f"  lowered {name}: {shape.num_cons} constraints [{timer.report()}]"
-                )
-        except Exception as e:
-            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
-            ok_all = False
+        todo.append((dataset, params, name))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futures = [
+            (name, dataset, ex.submit(lower_one, dataset, params))
+            for dataset, params, name in todo
+        ]
+        for name, dataset, fut in futures:
+            _stage(f"Compile, solve, and prove {dataset}")
+            try:
+                shape, vars_, inputs, data_source, xshape, timer = fut.result()
+                _stage(f"  data: {data_source} ({xshape[0]}x{xshape[1]})")
+                if prove and batch:
+                    lowered.append((name, shape, vars_, inputs, timer))
+                elif prove:
+                    ok_all &= prove_and_verify(
+                        shape, vars_, inputs, name, timer, out_dir, zk,
+                        snark, emit_zkif,
+                    )
+                else:
+                    _stage(
+                        f"  lowered {name}: {shape.num_cons} constraints "
+                        f"[{timer.report()}]"
+                    )
+            except Exception as e:
+                _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+                ok_all = False
 
     if prove and batch and lowered:
         from .spartan import batched, nizk
