@@ -73,6 +73,33 @@ def test_cli_verify_zkif_snark_mode(tmp_path, capsys):
 def test_cli_zk_snark_exclusive(capsys):
     with pytest.raises(SystemExit):
         cli.main(["--lp", "--zk", "--snark"])
+    with pytest.raises(SystemExit):
+        cli.main(["--lp", "--zk", "--transparent"])
+
+
+def test_cli_emit_zkif_artifact_triple(tmp_path, capsys):
+    """--emit-zkif leaves the reference-format triple per instance
+    (run.py:47-49) and the triple re-imports + re-verifies."""
+    rc = cli.main(
+        [
+            "--lp",
+            "--custom",
+            AFIRO,
+            "--transparent",
+            "--emit-zkif",
+            "--cpu",
+            "--out",
+            str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    base = str(tmp_path / "LP" / "afiro.mps")
+    for ext in (".zkif", ".inp.zkif", ".wit.zkif"):
+        assert os.path.exists(base + ext), ext
+    shape, vars_, inputs = zkif.import_r1cs(
+        base + ".zkif", base + ".wit.zkif", base + ".inp.zkif"
+    )
+    assert shape.is_satisfied(vars_, inputs)
 
 
 def test_cli_lp_custom_delta_flag(tmp_path, capsys):
