@@ -143,27 +143,35 @@ def main():
         except Exception as e:
             extras["snark_error"] = f"{type(e).__name__}: {e}"
 
-    # largest full-suite instance proved so far (committed artifact)
-    meta = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "out",
-        "LP",
-        "modszk1.mps.meta.json",
-    )
-    try:
-        with open(meta) as f:
-            m = json.load(f)
-        if m.get("verified"):
-            extras["full_suite_largest"] = {
-                "name": m["name"],
-                "cons": m["num_cons"],
-                "prove_s": round(m["timings"].get("prove", 0), 2),
-                "cons_per_s": m.get("prover_metrics", {}).get(
-                    "constraints_per_s"
-                ),
-            }
-    except Exception:
-        pass
+    # largest full-suite instance proved so far: scan ALL committed meta
+    # artifacts instead of hardcoding one name (ADVICE r02: bench.py:148)
+    best = None
+    out_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+    for sub in ("LP", "SDP", "SGD"):
+        d = os.path.join(out_root, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if not fn.endswith(".meta.json"):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    m = json.load(f)
+                if m.get("verified") and (
+                    best is None or m["num_cons"] > best["num_cons"]
+                ):
+                    best = m
+            except Exception:
+                continue
+    if best is not None:
+        extras["full_suite_largest"] = {
+            "name": best["name"],
+            "cons": best["num_cons"],
+            "prove_s": round(best["timings"].get("prove", 0), 2),
+            "cons_per_s": best.get("prover_metrics", {}).get(
+                "constraints_per_s"
+            ),
+        }
 
     print(
         json.dumps(

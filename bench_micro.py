@@ -36,7 +36,11 @@ def _emit(metric, value, unit, vs=None):
     print(json.dumps(line), flush=True)
 
 
-def bench_field_mul(n=1 << 16, chain=32, iters=5):
+def bench_field_mul(n=1 << 16, chain=64, iters=3, target_s=1.5):
+    """Batched field-mul throughput with the work CHAINED inside one
+    dispatch and auto-scaled until device time dominates the ~100 ms
+    tunnel round trip (VERDICT r02 weak #1: the old fixed-size loop
+    measured latency, not throughput, and was off by ~10^3)."""
     import random
 
     import jax
@@ -49,21 +53,34 @@ def bench_field_mul(n=1 << 16, chain=32, iters=5):
     a = jnp.asarray(ints_to_limbs([r.randrange(SCALAR.modulus) for _ in range(n)]))
     b = jnp.asarray(ints_to_limbs([r.randrange(SCALAR.modulus) for _ in range(n)]))
 
-    @jax.jit
-    def chained(a, b):
-        def body(_, acc):
-            return F.mul(SCALAR, acc, b)
+    def make(chain):
+        @jax.jit
+        def chained(a, b):
+            def body(_, acc):
+                return F.mul(SCALAR, acc, b)
 
-        return jax.lax.fori_loop(0, chain, body, a)
+            return jax.lax.fori_loop(0, chain, body, a)
 
-    chained(a, b).block_until_ready()  # compile + warm
+        return chained
+
+    # calibration pass: estimate per-mul device time, then rescale the
+    # chain so one timed dispatch runs ~target_s of pure device work
+    fn = make(chain)
+    fn(a, b).block_until_ready()  # compile + warm
+    t0 = time.time()
+    fn(a, b).block_until_ready()
+    dt = max(time.time() - t0, 1e-6)
+    est_rate = n * chain / dt
+    chain2 = int(min(1 << 15, max(chain, est_rate * target_s / n)))
+    fn = make(chain2)
+    fn(a, b).block_until_ready()
     t0 = time.time()
     for _ in range(iters):
-        out = chained(a, b)
+        out = fn(a, b)
     out.block_until_ready()
     dt = time.time() - t0
-    rate = n * chain * iters / dt
-    _emit("field_mul_per_s", round(rate), f"mul/s (batch={n} chain={chain})")
+    rate = n * chain2 * iters / dt
+    _emit("field_mul_per_s", round(rate), f"mul/s (batch={n} chain={chain2})")
     return rate
 
 
@@ -101,7 +118,10 @@ def bench_msm(n=1 << 13, iters=3):
     return rate
 
 
-def bench_sumcheck_round(n=1 << 18, iters=5):
+def bench_sumcheck_round(n=1 << 18, rounds=64, iters=3):
+    """Cubic sumcheck round throughput: ``rounds`` full bind+eval rounds
+    (fixed active size n/2 — the first-round cost) CHAINED in one
+    lax.scan dispatch, so device time dominates the tunnel RTT."""
     import random
 
     import jax
@@ -119,21 +139,29 @@ def bench_sumcheck_round(n=1 << 18, iters=5):
 
     eq, pa, pb, pc = tbl(), tbl(), tbl(), tbl()
     r_prev = jnp.asarray(ints_to_limbs([r.randrange(SCALAR.modulus)]))[0]
-    step = sumcheck._step_cubic_kernel(n)
-    half = jnp.int32(n // 2)
 
-    evals, tables = step(r_prev, jnp.int32(n), eq, pa, pb, pc)
-    evals.block_until_ready()  # compile + warm
+    @jax.jit
+    def chained(r_ch, eq, pa, pb, pc):
+        def body(tabs, _):
+            tabs = sumcheck._bind_tables(r_ch, jnp.int32(n // 2), tabs)
+            evals = sumcheck._cubic_evals(*tabs, jnp.int32(n // 2))
+            return tabs, evals
+
+        _, evs = jax.lax.scan(body, (eq, pa, pb, pc), None, length=rounds)
+        return evs
+
+    chained(r_prev, eq, pa, pb, pc).block_until_ready()  # compile + warm
     t0 = time.time()
     for _ in range(iters):
-        evals, tables = step(r_prev, jnp.int32(n), eq, pa, pb, pc)
-    evals.block_until_ready()
+        out = chained(r_prev, eq, pa, pb, pc)
+    out.block_until_ready()
     dt = time.time() - t0
-    rate = n * iters / dt
+    rate = n * rounds * iters / dt
     _emit(
         "sumcheck_points_per_s",
         round(rate),
-        f"hypercube points/s per round (n={n}, bind+eval of 4 tables)",
+        f"hypercube points/s per round (n={n}, {rounds} chained rounds, "
+        "bind+eval of 4 tables)",
     )
     return rate
 

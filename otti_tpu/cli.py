@@ -59,17 +59,41 @@ def already_verified(out_dir, name) -> bool:
         return False
 
 
-def _choose_fused(shape) -> bool:
-    """Pick the single-dispatch fused prover vs the per-round classic one.
+def _lower_ahead(items, lower_fn):
+    """1-ahead pipeline stage overlap: yields (item, future) with item i+1
+    lowering on a worker thread while the caller proves item i on device
+    (SURVEY.md §2.3 pipeline parallelism).  Lookahead is bounded to ONE
+    instance — submitting everything upfront buffered every lowered
+    witness in memory on full suites (ADVICE r02: cli.py:307)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    The fused prover compiles both sumcheck phases + the Hyrax opening into
-    ONE XLA program; its one-time compile grows with the padded instance
-    size (tens of minutes past ~2^15 padded vars), while its win — removing
-    the ~100 ms/round host<->device Fiat-Shamir sync — is a constant
-    O(mu) per proof.  The classic prover reuses small per-round kernels
-    across shapes, so large/cold shapes prove far sooner end-to-end.
-    OTTI_FUSED=1 / OTTI_NO_FUSED=1 force either path;
-    OTTI_FUSED_MAX_VARS overrides the crossover (padded num_vars).
+    items = list(items)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(lower_fn, items[0]) if items else None
+        for i, item in enumerate(items):
+            cur = fut
+            fut = (
+                ex.submit(lower_fn, items[i + 1])
+                if i + 1 < len(items)
+                else None
+            )
+            yield item, cur
+
+
+def _choose_fused(shape) -> bool:
+    """Pick the single-dispatch fused prover vs the hybrid multi-dispatch
+    one (both run the Fiat-Shamir transcript on device; neither pays
+    per-round host syncs).
+
+    The fused prover compiles the ENTIRE argument into ONE XLA program per
+    instance shape — minimum latency (one fetch), but the compile is
+    minutes through the tunnel, never disk-cached for the TPU backend, and
+    grows with shape.  The hybrid prover (spartan/hybrid.py) splits the
+    same computation into phase kernels cached by padded table size, so
+    full-suite instances share compilations; it pays one extra fetch.
+    OTTI_FUSED=1 forces fused everywhere, OTTI_NO_FUSED=1 forces hybrid;
+    OTTI_CLASSIC=1 falls back to the per-round host-transcript provers;
+    OTTI_FUSED_MAX_VARS overrides the crossover (padded size).
     """
     if os.environ.get("OTTI_NO_FUSED"):
         return False
@@ -82,9 +106,103 @@ def _choose_fused(shape) -> bool:
     return max(shape.num_vars_padded, shape.num_cons_padded) <= max_vars
 
 
+def _batched_prove_and_verify(lowered, out_dir, zk) -> bool:
+    """Batched (data-parallel) proving of lowered instances, zk or plain.
+
+    Groups instances by padded shape class (e.g. SDPLIB's hinf1-9 all land
+    in one class), pads each group to its max dims so it runs as ONE
+    batched device program via the vmapped device-FS kernels, verifies
+    each proof individually, and persists the usual artifacts.
+    (VERDICT r02 next #5: batch the shape-class suites without dropping
+    zk.)"""
+    from .spartan import batched, nizk, serial, zknizk
+
+    groups: dict = {}
+    for item in lowered:
+        name, shape, vars_, inputs, timer = item
+        key = (shape.num_cons_padded, shape.num_vars_padded)
+        groups.setdefault(key, []).append(item)
+
+    ok_all = True
+    for key, items in sorted(groups.items()):
+        max_cons = max(sh.num_cons for _, sh, _, _, _ in items)
+        max_vars = max(
+            max(sh.num_vars_padded, sh.num_inputs + 1)
+            for _, sh, _, _, _ in items
+        )
+        _stage(
+            f"Batched proving {len(items)} instance(s)"
+            f"{' (zk)' if zk else ''} "
+            f"(shape class {key[0]}x{key[1]}, padded to {max_cons} cons)"
+        )
+        devs = [
+            sh.to_device(min_cons=max_cons, min_vars=max_vars)
+            for _, sh, _, _, _ in items
+        ]
+        t0 = time.time()
+        prove_fn = batched.prove_many_zk if zk else batched.prove_many
+        proofs = prove_fn(
+            devs,
+            [v for _, _, v, _, _ in items],
+            [i for _, _, _, i, _ in items],
+        )
+        dt = time.time() - t0
+        _stage(f"  batch proved in {dt:.2f}s")
+        verify_fn = zknizk.verify if zk else nizk.verify
+        for (name, sh, v, i, timer), dev, proof in zip(items, devs, proofs):
+            ok = verify_fn(dev, i, proof)
+            if ok:
+                _stage(f"Verification successful for {name} (batched)")
+            else:
+                _stage(f"VERIFICATION FAILED for {name}")
+            ok_all &= ok
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                timer.t["prove"] = dt / len(items)
+                serial.save(proof, os.path.join(out_dir, name + ".proof.json"))
+                with open(
+                    os.path.join(out_dir, name + ".meta.json"), "w"
+                ) as f:
+                    json.dump(
+                        {
+                            "name": name,
+                            "mode": "batched-zk" if zk else "batched",
+                            "num_cons": sh.num_cons,
+                            "num_vars": sh.num_vars,
+                            "num_inputs": sh.num_inputs,
+                            "verified": bool(ok),
+                            "proof_bytes": proof.size_bytes(),
+                            "timings": timer.t,
+                        },
+                        f,
+                        indent=2,
+                    )
+    return ok_all
+
+
+def _mesh_size(mesh, shape) -> int:
+    """Resolve --mesh into a device count usable for this instance.
+
+    Returns 1 (single-chip) unless >1 devices are requested AND visible
+    AND the padded instance is large enough for the cyclic layout
+    (num_z/k >= 2, num_cons >= k)."""
+    if not mesh:
+        return 1
+    import jax
+
+    avail = len(jax.devices())
+    k = avail if mesh == "auto" else int(mesh)
+    k = min(k, avail)
+    while k > 1 and (
+        shape.num_cons_padded < k or (2 * shape.num_vars_padded) // k < 2
+    ):
+        k //= 2
+    return max(k, 1)
+
+
 def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False,
-    snark=False, emit_zkif=False,
+    snark=False, emit_zkif=False, mesh=None,
 ):
     if emit_zkif and out_dir:
         # reference-format artifact triple per instance (run.py:47-49
@@ -104,18 +222,41 @@ def prove_and_verify(
             shape, vars_, inputs, name, timer, out_dir
         )
     use_fused = _choose_fused(shape)
-    if zk:
-        from .spartan import zkfused, zknizk as prover
+    classic = bool(os.environ.get("OTTI_CLASSIC"))
+    mesh_k = _mesh_size(mesh, shape)
+    if mesh_k > 1 and not snark:
+        # multi-chip path (--mesh): the sharded single-dispatch provers;
+        # byte-identical wire, ~1 psum of 2-3 scalars per sumcheck round
+        from .parallel import fused_prover
+        from .spartan import zknizk
 
-        # single-dispatch device-transcript ZK prover (same wire format);
-        # the per-round host-transcript path is the large-shape fallback
-        prove_fn = zkfused.prove if use_fused else prover.prove
+        if zk:
+            prove_fn = lambda d, v, i: fused_prover.prove_zk(d, v, i, k=mesh_k)
+            prover = zknizk
+        else:
+            from .spartan import nizk
+
+            prove_fn = lambda d, v, i: fused_prover.prove(d, v, i, k=mesh_k)
+            prover = nizk
+    elif zk:
+        from .spartan import hybrid, zkfused, zknizk as prover
+
+        # device-transcript ZK provers (same wire format): single-dispatch
+        # below the compile-cost crossover, hybrid phase-kernels above;
+        # OTTI_CLASSIC=1 falls back to the per-round host-transcript path
+        prove_fn = (
+            prover.prove if classic
+            else zkfused.prove if use_fused
+            else hybrid.prove_zk
+        )
     else:
-        from .spartan import fused, nizk as prover
+        from .spartan import fused, hybrid, nizk as prover
 
-        # single-dispatch device-transcript prover (same wire format);
-        # the per-round host-transcript path is the large-shape fallback
-        prove_fn = fused.prove if use_fused else prover.prove
+        prove_fn = (
+            prover.prove if classic
+            else fused.prove if use_fused
+            else hybrid.prove
+        )
 
     with timer.time("to_device"):
         dev = shape.to_device()
@@ -216,13 +357,15 @@ def _prove_and_verify_snark(shape, vars_, inputs, name, timer, out_dir=None):
 
 
 def run_lp(files, home_out, prove=True, zk=False, resume=False,
-           snark=False, delta=None, emit_zkif=False):
+           snark=False, delta=None, emit_zkif=False, mesh=None,
+           batch=False):
     from .codegen import lp_cert
     from .io import mps
     from .oracle import lp_oracle
 
     ok_all = True
     out_dir = os.path.join(home_out, "LP")
+    lowered = []
 
     def lower_one(path):
         """Host pipeline stage: parse -> oracle -> lower (runs on a worker
@@ -238,8 +381,6 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False,
             shape, vars_, inputs = lp_cert.build(prob, x, y, **kw)
         return shape, vars_, inputs, opt, timer
 
-    from concurrent.futures import ThreadPoolExecutor
-
     todo = [
         p
         for p in files
@@ -247,38 +388,43 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False,
     ]
     for p in set(files) - set(todo):
         _stage(f"Skipping {os.path.basename(p)} (already verified)")
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futures = [(p, ex.submit(lower_one, p)) for p in todo]
-        for path, fut in futures:
-            name = os.path.basename(path)
-            _stage(f"Compiling {name}")
-            try:
-                shape, vars_, inputs, opt, timer = fut.result()
-                _stage(f"  oracle optimum {opt:.4f}")
-                if prove:
-                    ok_all &= prove_and_verify(
-                        shape, vars_, inputs, name, timer, out_dir, zk, snark,
-                        emit_zkif,
-                    )
-                else:
-                    _stage(
-                        f"  lowered {name}: {shape.num_cons} constraints "
-                        f"[{timer.report()}]"
-                    )
-            except Exception as e:  # fail-soft per instance (SURVEY.md §5.3)
-                _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
-                ok_all = False
+    for path, fut in _lower_ahead(todo, lower_one):
+        name = os.path.basename(path)
+        _stage(f"Compiling {name}")
+        try:
+            shape, vars_, inputs, opt, timer = fut.result()
+            _stage(f"  oracle optimum {opt:.4f}")
+            if prove and batch:
+                lowered.append((name, shape, vars_, inputs, timer))
+            elif prove:
+                ok_all &= prove_and_verify(
+                    shape, vars_, inputs, name, timer, out_dir, zk, snark,
+                    emit_zkif, mesh,
+                )
+            else:
+                _stage(
+                    f"  lowered {name}: {shape.num_cons} constraints "
+                    f"[{timer.report()}]"
+                )
+        except Exception as e:  # fail-soft per instance (SURVEY.md §5.3)
+            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+            ok_all = False
+    if prove and batch and lowered:
+        ok_all &= _batched_prove_and_verify(lowered, out_dir, zk)
     return ok_all
 
 
 def run_sdp(files, home_out, prove=True, zk=False, resume=False,
-            snark=False, epsilon=None, emit_zkif=False):
+            snark=False, epsilon=None, emit_zkif=False, mesh=None,
+            batch=False):
     from .codegen import sdp_cert
     from .io import sdpa
     from .oracle import sdp_oracle
 
     ok_all = True
     out_dir = os.path.join(home_out, "SDP")
+    lowered = []
+
     def lower_one(path):
         """Host pipeline stage (parse -> oracle -> Cholesky -> lower) on a
         worker thread: instance i+1 lowers while instance i proves on
@@ -295,8 +441,6 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
             shape, vars_, inputs = sdp_cert.build(prob, X, y, Lx, Ls, **kw)
         return shape, vars_, inputs, timer
 
-    from concurrent.futures import ThreadPoolExecutor
-
     todo = []
     for path in files:
         name = os.path.basename(path)
@@ -307,31 +451,34 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
             _stage(f"Skipping {name} (already verified)")
             continue
         todo.append(path)
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futures = [(p, ex.submit(lower_one, p)) for p in todo]
-        for path, fut in futures:
-            name = os.path.basename(path)
-            _stage(f"Making certificate for {name}")
-            try:
-                shape, vars_, inputs, timer = fut.result()
-                if prove:
-                    ok_all &= prove_and_verify(
-                        shape, vars_, inputs, name, timer, out_dir, zk,
-                        snark, emit_zkif,
-                    )
-                else:
-                    _stage(
-                        f"  lowered {name}: {shape.num_cons} constraints "
-                        f"[{timer.report()}]"
-                    )
-            except Exception as e:
-                _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
-                ok_all = False
+    for path, fut in _lower_ahead(todo, lower_one):
+        name = os.path.basename(path)
+        _stage(f"Making certificate for {name}")
+        try:
+            shape, vars_, inputs, timer = fut.result()
+            if prove and batch:
+                lowered.append((name, shape, vars_, inputs, timer))
+            elif prove:
+                ok_all &= prove_and_verify(
+                    shape, vars_, inputs, name, timer, out_dir, zk,
+                    snark, emit_zkif, mesh,
+                )
+            else:
+                _stage(
+                    f"  lowered {name}: {shape.num_cons} constraints "
+                    f"[{timer.report()}]"
+                )
+        except Exception as e:
+            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+            ok_all = False
+    if prove and batch and lowered:
+        ok_all &= _batched_prove_and_verify(lowered, out_dir, zk)
     return ok_all
 
 
 def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
-            resume=False, batch=False, snark=False, emit_zkif=False):
+            resume=False, batch=False, snark=False, emit_zkif=False,
+            mesh=None):
     from .codegen import sgd_cert
     from .io import pmlb_local
     from .oracle import sgd_oracle
@@ -363,8 +510,6 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
             shape, vars_, inputs = sgd_cert.build(X, ypm, w, prob=prob_check)
         return shape, vars_, inputs, data_source, X.shape, timer
 
-    from concurrent.futures import ThreadPoolExecutor
-
     todo = []
     for dataset, params in cfg.items():
         name = ("prob_" if prob_check else "") + dataset
@@ -372,62 +517,31 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
             _stage(f"Skipping {name} (already verified)")
             continue
         todo.append((dataset, params, name))
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futures = [
-            (name, dataset, ex.submit(lower_one, dataset, params))
-            for dataset, params, name in todo
-        ]
-        for name, dataset, fut in futures:
-            _stage(f"Compile, solve, and prove {dataset}")
-            try:
-                shape, vars_, inputs, data_source, xshape, timer = fut.result()
-                _stage(f"  data: {data_source} ({xshape[0]}x{xshape[1]})")
-                if prove and batch:
-                    lowered.append((name, shape, vars_, inputs, timer))
-                elif prove:
-                    ok_all &= prove_and_verify(
-                        shape, vars_, inputs, name, timer, out_dir, zk,
-                        snark, emit_zkif,
-                    )
-                else:
-                    _stage(
-                        f"  lowered {name}: {shape.num_cons} constraints "
-                        f"[{timer.report()}]"
-                    )
-            except Exception as e:
-                _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
-                ok_all = False
+    for (dataset, params, name), fut in _lower_ahead(
+        todo, lambda item: lower_one(item[0], item[1])
+    ):
+        _stage(f"Compile, solve, and prove {dataset}")
+        try:
+            shape, vars_, inputs, data_source, xshape, timer = fut.result()
+            _stage(f"  data: {data_source} ({xshape[0]}x{xshape[1]})")
+            if prove and batch:
+                lowered.append((name, shape, vars_, inputs, timer))
+            elif prove:
+                ok_all &= prove_and_verify(
+                    shape, vars_, inputs, name, timer, out_dir, zk,
+                    snark, emit_zkif, mesh,
+                )
+            else:
+                _stage(
+                    f"  lowered {name}: {shape.num_cons} constraints "
+                    f"[{timer.report()}]"
+                )
+        except Exception as e:
+            _stage(f"INSTANCE FAILED {name}: {type(e).__name__}: {e}")
+            ok_all = False
 
     if prove and batch and lowered:
-        from .spartan import batched, nizk
-
-        max_cons = max(sh.num_cons for _, sh, _, _, _ in lowered)
-        max_vars = max(
-            max(sh.num_vars_padded, sh.num_inputs + 1)
-            for _, sh, _, _, _ in lowered
-        )
-        _stage(
-            f"Batched proving {len(lowered)} instances "
-            f"(padded to {max_cons} cons / {max_vars} vars)"
-        )
-        devs = [
-            sh.to_device(min_cons=max_cons, min_vars=max_vars)
-            for _, sh, _, _, _ in lowered
-        ]
-        t0 = time.time()
-        proofs = batched.prove_many(
-            devs,
-            [v for _, _, v, _, _ in lowered],
-            [i for _, _, _, i, _ in lowered],
-        )
-        _stage(f"  batch proved in {time.time() - t0:.2f}s")
-        for (name, sh, v, i, timer), dev, proof in zip(lowered, devs, proofs):
-            ok = nizk.verify(dev, i, proof)
-            if ok:
-                _stage(f"Verification successful for {name} (batched)")
-            else:
-                _stage(f"VERIFICATION FAILED for {name}")
-            ok_all &= ok
+        ok_all &= _batched_prove_and_verify(lowered, out_dir, zk)
     return ok_all
 
 
@@ -488,6 +602,15 @@ def main(argv=None):
     )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument(
+        "--mesh",
+        type=str,
+        default=None,
+        help="multi-chip proving: number of devices for the sharded "
+        "device-FS prover, or 'auto' for all visible devices; proofs stay "
+        "byte-identical to single-chip (cyclic hypercube layout, one psum "
+        "of 2-3 scalars per sumcheck round)",
+    )
+    parser.add_argument(
         "--coordinator",
         type=str,
         default=None,
@@ -516,10 +639,13 @@ def main(argv=None):
         parser.error("--zk and --snark are mutually exclusive")
     if args.zk and args.transparent:
         parser.error("--zk and --transparent are mutually exclusive")
+    if args.batch and args.snark:
+        parser.error("--batch and --snark are mutually exclusive")
     # zero-knowledge is the DEFAULT (the reference's proof path is Spartan
-    # NIZK — a zkSNARK, run.py:58 --nizk); --transparent / --snark /
-    # --batch opt out explicitly.
-    args.zk = not (args.transparent or args.snark or args.batch)
+    # NIZK — a zkSNARK, run.py:58 --nizk); --transparent / --snark opt out
+    # explicitly.  --batch composes with both zk and transparent
+    # (batched.prove_many_zk / prove_many).
+    args.zk = not (args.transparent or args.snark)
 
     from . import runtime
 
@@ -571,7 +697,8 @@ def main(argv=None):
             files = listdir("LP/MPS-small")
         ok = run_lp(files, args.out, prove, args.zk, args.resume,
                     snark=args.snark, delta=args.delta,
-                    emit_zkif=args.emit_zkif)
+                    emit_zkif=args.emit_zkif, mesh=args.mesh,
+                    batch=args.batch)
     elif args.sdp:
         if args.custom:
             files = [args.custom]
@@ -584,7 +711,8 @@ def main(argv=None):
             files = listdir("SDP/small")
         ok = run_sdp(files, args.out, prove, args.zk, args.resume,
                      snark=args.snark, epsilon=args.epsilon,
-                     emit_zkif=args.emit_zkif)
+                     emit_zkif=args.emit_zkif, mesh=args.mesh,
+                     batch=args.batch)
     elif args.sgd:
         if args.full:
             _stage("Running SGD full Otti dataset")
@@ -597,6 +725,7 @@ def main(argv=None):
                 batch=args.batch,
                 snark=args.snark,
                 emit_zkif=args.emit_zkif,
+                mesh=args.mesh,
             )
             _stage("Running SGD probabilistic Otti dataset")
             ok &= run_sgd(
@@ -609,6 +738,7 @@ def main(argv=None):
                 batch=args.batch,
                 snark=args.snark,
                 emit_zkif=args.emit_zkif,
+                mesh=args.mesh,
             )
         else:
             _stage("Running SGD small Otti dataset")
@@ -621,6 +751,7 @@ def main(argv=None):
                 batch=args.batch,
                 snark=args.snark,
                 emit_zkif=args.emit_zkif,
+                mesh=args.mesh,
             )
     else:
         parser.print_help()

@@ -143,13 +143,15 @@ class Builder:
             f"range check would fail: {val} needs more than {n_bits} bits "
             f"(circuit {self.name})"
         )
-        bs = []
-        acc = ZERO
-        for i in range(n_bits):
-            b = self.var((val >> i) & 1)
+        # bulk emission: extend the witness in one go and build the weighted
+        # sum as ONE LinComb (the incremental acc+b*2^i chain is O(n_bits^2)
+        # in tuple copies and dominated full-suite lowering, VERDICT r02 #8)
+        base = len(self.var_values)
+        self.var_values.extend((val >> i) & 1 for i in range(n_bits))
+        bs = [LinComb(((base + i, 1),)) for i in range(n_bits)]
+        for b in bs:
             self.assert_bool(b)
-            acc = acc + b * (1 << i)
-            bs.append(b)
+        acc = LinComb(tuple((base + i, 1 << i) for i in range(n_bits)))
         self.assert_eq(acc, lc)
         return bs
 

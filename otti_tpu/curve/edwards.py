@@ -136,12 +136,17 @@ def scalar_mul_bits(p, bits):
 def scalars_to_bits(scalars_limbs: jax.Array, n_bits: int = 256) -> jax.Array:
     """Scalar-field limb vectors -> [..., n_bits] bit array (LSB-first).
 
-    Vectorized (single gather + shift) — no per-bit graph ops.
+    Canonicalizes first: bit extraction by per-limb shifts is only correct
+    on fully-normalized limbs, and semi-form limbs may carry residuals
+    (flat partial carry).  Reducing mod ell is value-changing as an
+    integer but group-equivalent for scalar multiplication (the ristretto
+    subgroup has order ell).  Vectorized — no per-bit graph ops.
     """
     import numpy as np
 
-    from ..field.fields import LIMB_BITS, N_LIMBS
+    from ..field.fields import LIMB_BITS, N_LIMBS, SCALAR
 
+    scalars_limbs = F.canon(SCALAR, scalars_limbs)
     pos = np.arange(n_bits)
     limb_idx = np.minimum(pos // LIMB_BITS, N_LIMBS - 1)
     offs = pos % LIMB_BITS
@@ -183,6 +188,41 @@ def sum_points(p, axis: int = 0):
         p = add(lo, hi)
         n = half
     return jax.tree.map(lambda a: a[0], p)
+
+
+def sum_points_compact(p, axis: int = 0):
+    """Tree-reduce with ONE point-add callsite (fori_loop over levels).
+
+    n*log2(n) work instead of sum_points' 2n, but O(1) HLO — for SMALL
+    reductions inside compile-sensitive kernels (the per-round ZK
+    commitments: the unrolled tree put ~18k HLO per commit callsite into
+    the round body and pushed the phase-kernel compile to ~15 min on the
+    tunnel).  Large device commitments keep the work-optimal sum_points.
+    """
+    p = jax.tree.map(lambda a: jnp.moveaxis(a, axis, 0), p)
+    n = p["x"].shape[0]
+    if n == 1:
+        return jax.tree.map(lambda a: a[0], p)
+    N = 1 << (n - 1).bit_length()
+    if N > n:
+        id_block = match_vma(identity((N - n,) + p["x"].shape[1:-1]), p)
+        p = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), p, id_block
+        )
+    levels = N.bit_length() - 1
+    iota = jnp.arange(N)
+
+    nb = p["x"].ndim - 2  # batch dims between the reduce axis and limbs
+
+    def body(k, q):
+        offset = jnp.int32(N) >> (k + 1)
+        partner = jax.tree.map(lambda a: jnp.roll(a, -offset, axis=0), q)
+        s = add(q, partner)
+        keep = (iota < offset).reshape((N,) + (1,) * nb)
+        return select(keep, s, q)
+
+    q = jax.lax.fori_loop(0, levels, body, p)
+    return jax.tree.map(lambda a: a[0], q)
 
 
 # ---------------------------------------------------------------------------

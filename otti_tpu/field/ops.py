@@ -43,16 +43,14 @@ I32 = jnp.int32
 # Limb-level primitives
 # ---------------------------------------------------------------------------
 
-def carry(x: jax.Array, n_out: int) -> jax.Array:
-    """Propagate (signed) carries: limbs 0..n_out-2 land in [0, 2^12).
+def carry_exact(x: jax.Array, n_out: int) -> jax.Array:
+    """FULLY propagate (signed) carries: limbs 0..n_out-2 land in [0, 2^12).
 
-    The top output limb keeps the full residual (not masked), so the result
-    is value-preserving whenever the value fits in ``n_out`` limbs with a
-    signed top limb.  Works for negative intermediates (arithmetic shifts).
-
-    Implemented as a lax.scan over the limb axis so the HLO graph stays
-    O(1) regardless of limb count (unrolled chains made every field-op
-    callsite thousands of ops — compile-time poison in this environment).
+    The top output limb keeps the full residual (not masked) — in
+    particular its SIGN reflects the sign of the whole value, which is what
+    ``canon``'s conditional subtract relies on.  lax.scan over the limb
+    axis: O(1) HLO ops, but ~n_out sequential steps at run time — use only
+    where exact normalization matters (canon); arithmetic uses ``carry``.
     """
     n_in = x.shape[-1]
     batch = x.shape[:-1]
@@ -80,26 +78,72 @@ def carry(x: jax.Array, n_out: int) -> jax.Array:
     return out
 
 
+def carry(x: jax.Array, n_out: int, passes: int = 4) -> jax.Array:
+    """PARTIALLY propagate carries: limbs 0..n_out-2 land in [0, 2^12 + 3].
+
+    Flat (loop-free) parallel carry: each pass splits every limb into its
+    low 12 bits and a signed residual (arithmetic shift; works for negative
+    intermediates) and adds the residual one limb up; the top limb is never
+    split (it keeps the unmasked residual, same contract as carry_exact).
+    With |input limbs| < 2^30, four passes contract the residuals to <= 3
+    (2^30 -> 2^12+2^18 -> 2^12+67 -> 2^12+3 fixpoint), which satisfies the
+    semi-form precondition of ``conv`` (22 * (2^12+3)^2 < 2^29).
+
+    Why not the scan: every sequential loop step costs ~micro-seconds of
+    launch latency on small tensors, and the nested while-regions made the
+    ZK round kernels take ~1000 s to compile and ~300 ms/round to RUN on
+    TPU (profiled r03); the flat form is ~7 fused elementwise ops per pass
+    with no control flow, and vectorizes identically over any batch.
+    """
+    n_in = x.shape[-1]
+    batch = x.shape[:-1]
+    if n_in < n_out:
+        x = jnp.concatenate(
+            [x, jnp.zeros(batch + (n_out - n_in,), I32)], axis=-1
+        )
+    elif n_in > n_out:
+        top = x[..., n_out - 1]
+        for j in range(n_out, n_in):
+            top = top + (x[..., j] << (LIMB_BITS * (j - (n_out - 1))))
+        x = jnp.concatenate([x[..., : n_out - 1], top[..., None]], axis=-1)
+    for _ in range(passes):
+        lo = x & LIMB_MASK  # two's complement: in [0, 2^12) even for x < 0
+        hi = (x - lo) >> LIMB_BITS  # exact signed residual
+        body = jnp.concatenate([lo[..., :-1], x[..., -1:]], axis=-1)
+        x = body + jnp.concatenate(
+            [jnp.zeros(batch + (1,), I32), hi[..., :-1]], axis=-1
+        )
+    return x
+
+
 def conv(a: jax.Array, b: jax.Array) -> jax.Array:
     """Schoolbook limb convolution: [..., 22] x [..., 22] -> [..., 43].
 
-    Inputs must be normalized semi form so every coefficient stays
-    < 22 * 2^13 * 2^13 < 2^31 (top limbs are < 2^5 in semi form).
-    One fori_loop with dynamic-slice updates: O(1) HLO ops.
+    Inputs must be semi form (limbs <= 2^12 + 3) so every coefficient stays
+    < 22 * (2^12+3)^2 < 2^29.  Flat form: 22 shifted partial products
+    summed by a balanced tree — ~45 fused elementwise HLO ops, zero control
+    flow (the earlier fori_loop version cost ~22 sequential dispatch steps
+    per multiply, which dominated all small-batch group math on TPU).
     """
     batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    nb = len(batch)
     a = jnp.broadcast_to(a, batch + (N_LIMBS,))
     b = jnp.broadcast_to(b, batch + (N_LIMBS,))
-    out = jnp.zeros(batch + (CONV_LIMBS,), I32) + ((a[..., :1] | b[..., :1]) & 0)
-
-    def body(i, acc):
-        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)
-        cur = jax.lax.dynamic_slice_in_dim(acc, i, N_LIMBS, axis=-1)
-        return jax.lax.dynamic_update_slice_in_dim(
-            acc, cur + ai * b, i, axis=-1
+    terms = [
+        jnp.pad(
+            a[..., i : i + 1] * b,
+            [(0, 0)] * nb + [(i, CONV_LIMBS - N_LIMBS - i)],
         )
-
-    return jax.lax.fori_loop(0, N_LIMBS, body, out)
+        for i in range(N_LIMBS)
+    ]
+    while len(terms) > 1:  # balanced add tree
+        nxt = [
+            terms[j] + terms[j + 1] for j in range(0, len(terms) - 1, 2)
+        ]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def _fold_high(spec: FieldSpec, x: jax.Array) -> jax.Array:
@@ -258,11 +302,15 @@ def batch_inv(spec: FieldSpec, x: jax.Array) -> jax.Array:
 
 
 def canon(spec: FieldSpec, x: jax.Array) -> jax.Array:
-    """Canonical representative in [0, m): at most two conditional subtracts."""
+    """Canonical representative in [0, m): at most two conditional subtracts.
+
+    Uses the EXACT scan carry: the conditional subtract reads the sign off
+    the fully-propagated top limb, which the flat partial carry does not
+    guarantee."""
     m = jnp.asarray(spec.modulus_limbs, I32)
-    x = carry(x, N_LIMBS)
+    x = carry_exact(x, N_LIMBS)
     for _ in range(2):
-        d = carry(x - m, N_LIMBS)
+        d = carry_exact(x - m, N_LIMBS)
         nonneg = d[..., -1] >= 0  # top limb unmasked -> sign of whole diff
         x = jnp.where(nonneg[..., None], d, x)
     return x

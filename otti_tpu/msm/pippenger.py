@@ -41,6 +41,10 @@ def _digits(scalars: jax.Array, window: int) -> jax.Array:
 
     Digits are extracted LSB-window-first then reversed (row 0 = MSB window).
     """
+    from ..field import ops as F
+    from ..field.fields import SCALAR
+
+    scalars = F.canon(SCALAR, scalars)  # bit extraction needs exact limbs
     n_windows = math.ceil(SCALAR_BITS / window)
     bits = []
     for b in range(n_windows * window):
@@ -272,10 +276,19 @@ def msm_fixed_base(
     scalar_matrix: jax.Array,
     window: int = FIXED_BASE_WINDOW,
     with_blind: bool = False,
+    tbl: dict | None = None,
 ):
-    """Batched fixed-base MSM: [rows, cols, L] scalars over the cached comb
-    tables of generators (cols <= n_gens [+1 blind col]) -> [rows] points."""
-    tbl, n_win, n_d = fixed_base_tables(n_gens, label, window, with_blind)
+    """Batched fixed-base MSM: [rows, cols, L] scalars over the comb tables
+    of generators (cols <= n_gens [+1 blind col]) -> [rows] points.
+
+    ``tbl``: pass the (traced) comb tables explicitly when calling from
+    inside a jitted kernel — a closed-over concrete table is baked into
+    the compiled program as a multi-MB constant, which multiplied TPU
+    compile times ~2x and defeats executable reuse (measured r03)."""
+    if tbl is None:
+        tbl, _, _ = fixed_base_tables(n_gens, label, window, with_blind)
+    n_win = -(-SCALAR_BITS // window)
+    n_d = 1 << window
     rows, cols = scalar_matrix.shape[0], scalar_matrix.shape[1]
     digits = _window_digits(scalar_matrix, window, n_win)  # [rows, cols, n_win]
     gen_idx = jnp.arange(cols, dtype=jnp.int32)[None, :, None]
@@ -290,6 +303,10 @@ def msm_fixed_base(
     flat = (gen_idx * n_win + win_idx) * n_d + digits  # [rows, cols, n_win]
     flat = flat.reshape(rows, cols * n_win)
     gathered = {k: tbl[k][flat] for k in ("x", "y", "z", "t")}
+    if cols * n_win <= 2048:
+        # small reduction (per-round sigma commitments): one-callsite
+        # masked reduction keeps the compile graph tiny
+        return E.sum_points_compact(gathered, axis=1)
     return E.sum_points(gathered, axis=1)
 
 

@@ -5,13 +5,15 @@ The reference proves instances strictly sequentially in a Python loop
 dimensions run through the prover as ONE batched device program: stacked
 sparse matrices (nnz padded), vmapped matvecs/eq-tables/sumcheck rounds /
 binds, and row commitments flattened into a single shared-bases MSM.
-Per-instance Merlin transcripts stay on the host — the per-round
-device->host sync now carries B x 3 scalars instead of 3, so the FS
-serialization cost is amortized across the batch (throughput mode,
-BASELINE.json configs[4]).
+Since round 3 the per-instance Fiat-Shamir transcripts run ON DEVICE as
+a [B, 200] sponge-state matrix: the whole batch executes the vmapped
+hybrid phase kernels (spartan/hybrid.py) with ZERO mid-proof host syncs,
+in both plain and ZERO-KNOWLEDGE mode (VERDICT r02 next #5: --batch must
+compose with zk).
 
-Proofs are byte-identical to single-instance nizk.prove outputs (same
-transcript schedule), so nizk.verify validates them individually.
+Proofs are byte-identical to single-instance nizk.prove / zknizk.prove
+outputs (same transcript schedule), so the standard verifiers validate
+them individually.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field import ops as F
-from ..field.fields import SCALAR
+from ..field.fields import SCALAR, ints_to_limbs
 from ..transcript.merlin import Transcript
 from . import commitments, mle, r1cs, sumcheck
 from .nizk import (
@@ -111,66 +113,36 @@ def _veq_jit(mu: int):
     return jax.jit(jax.vmap(mle._eq_table_impl))
 
 
-@functools.lru_cache(maxsize=None)
-def _vcubic_jit(n: int):
-    half = n // 2
+def eval_at_batched(batched: "BatchedR1CS", e_rx: jax.Array, e_ry: jax.Array):
+    """Batched \tilde A/B/C(rx, ry): [B, 3, L] stacked evals."""
+    if not hasattr(batched, "_eval_jit"):
 
-    def one(eq, pa, pb, pc, ah):
-        mask = jnp.arange(half) < ah
-        outs = []
-        for t in (0, 2, 3):
-            eqt, at, bt, ct = (
-                sumcheck._ext_masked(x, t, ah) for x in (eq, pa, pb, pc)
+        def one(erx, ery, *mats):
+            outs = []
+            for m in range(3):
+                rows, cols, vals = mats[3 * m : 3 * m + 3]
+                prods = F.mul(
+                    SCALAR, F.mul(SCALAR, vals, erx[rows]), ery[cols]
+                )
+                outs.append(F.sum_reduce(SCALAR, prods, axis=0))
+            return jnp.stack(outs)
+
+        flat_mats = [x for m in range(3) for x in batched.mats[m]]
+        batched._eval_jit = jax.jit(
+            lambda erx, ery: jax.vmap(one, in_axes=(0, 0) + (0,) * 9)(
+                erx, ery, *flat_mats
             )
-            w = F.sub(SCALAR, F.mul(SCALAR, at, bt), ct)
-            w = F.select(mask, w, jnp.zeros_like(w))
-            outs.append(F.canon(SCALAR, F.dot(SCALAR, eqt, w)))
-        return tuple(outs)
-
-    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None)))
+        )
+    return batched._eval_jit(e_rx, e_ry)
 
 
-@functools.lru_cache(maxsize=None)
-def _vquad_jit(n: int):
-    half = n // 2
+def _common_setup(devs, vars_list, inputs_list, proto, blinds_rows=None):
+    """Shared front half: transcripts, batched commitment, taus, z stack.
 
-    def one(pm, pz, ah):
-        mask = jnp.arange(half) < ah
-        outs = []
-        for t in (0, 2):
-            mt = sumcheck._ext_masked(pm, t, ah)
-            zt = sumcheck._ext_masked(pz, t, ah)
-            zt = F.select(mask, zt, jnp.zeros_like(zt))
-            outs.append(F.canon(SCALAR, F.dot(SCALAR, mt, zt)))
-        return tuple(outs)
+    Returns (batched, transcripts [pristine], comm_encs, taus, zs,
+    vars_padded, dims)."""
+    from .fused import assemble_plain_proof  # noqa: F401 (doc pointer)
 
-    return jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
-
-
-@functools.lru_cache(maxsize=None)
-def _vbind_jit(n: int, k_tables: int):
-    half = n // 2
-
-    def one(r, ah, *tables):
-        out = []
-        for tbl in tables:
-            lo = tbl[:half]
-            hi = jax.lax.dynamic_slice_in_dim(tbl, ah, half, axis=0)
-            bound = F.add(
-                SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo))
-            )
-            out.append(jax.lax.dynamic_update_slice_in_dim(tbl, bound, 0, axis=0))
-        return tuple(out)
-
-    return jax.jit(jax.vmap(one, in_axes=(0, None) + (0,) * k_tables))
-
-
-def _limbs_to_ints_batch(x) -> list:
-    return [int(v) for v in F.pack_ints(SCALAR, x)]
-
-
-def prove_many(devs: list, vars_list: list, inputs_list: list) -> list:
-    """-> list of NIZKProof, one per instance (plain mode)."""
     B = len(devs)
     batched = BatchedR1CS(devs)
     nvp = batched.num_vars
@@ -179,139 +151,197 @@ def prove_many(devs: list, vars_list: list, inputs_list: list) -> list:
 
     transcripts = []
     for d, inputs in zip(devs, inputs_list):
-        t = Transcript(PROTO)
+        t = Transcript(proto)
         t.append_message(b"R1CS", d.digest)
         t.append_u64(b"num_inputs", len(inputs))
         for x in inputs:
             t.append_scalar(b"input", _sb(x))
         transcripts.append(t)
 
-    vars_padded = [
-        list(v) + [0] * (nvp - len(v)) for v in vars_list
-    ]
+    vars_padded = [list(v) + [0] * (nvp - len(v)) for v in vars_list]
     W = jnp.stack([_dev_vec(v) for v in vars_padded]).reshape(
         B * (1 << mu_rows), 1 << mu_cols, -1
     )
-    comm_flat = commitments.commit_rows(W, [0] * (B * (1 << mu_rows)), GENS_LABEL)
-    comm_enc_flat = commitments.encode_points(comm_flat)
     rows_per = 1 << mu_rows
+    blinds = (
+        [b for inst in blinds_rows for b in inst]
+        if blinds_rows is not None
+        else [0] * (B * rows_per)
+    )
+    comm_flat = commitments.commit_rows(W, blinds, GENS_LABEL)
+    comm_enc_flat = commitments.encode_points(comm_flat)
     comm_encs = [
         comm_enc_flat[b * rows_per : (b + 1) * rows_per] for b in range(B)
     ]
-    for t, encs in zip(transcripts, comm_encs):
-        for enc in encs:
-            t.append_point(b"poly_commitment", enc)
+    # scratch forks advance to tau; the pristine transcripts replay later
+    from .hybrid import _fork
 
-    taus = [t.challenge_vector(b"challenge_tau", mu_x) for t in transcripts]
+    taus, states = [], []
+    for t, encs in zip(transcripts, comm_encs):
+        t2 = _fork(t)
+        for enc in encs:
+            t2.append_point(b"poly_commitment", enc)
+        taus.append(t2.challenge_vector(b"challenge_tau", mu_x))
+        from .hybrid import _check_handoff
+
+        states.append(_check_handoff(t2.strobe))
     zs = jnp.stack(
         [
-            r1cs.assemble_z(
-                _dev_vec(v), _dev_vec(i) if i else None, nvp
-            )
+            r1cs.assemble_z(_dev_vec(v), _dev_vec(i) if i else None, nvp)
             for v, i in zip(vars_padded, inputs_list)
         ]
     )
+    return (
+        batched, transcripts, comm_encs, taus, jnp.stack(states), zs,
+        vars_padded, (nvp, mu_rows, mu_cols, mu_x),
+    )
+
+
+def prove_many(devs: list, vars_list: list, inputs_list: list) -> list:
+    """-> list of NIZKProof (plain mode), byte-identical to nizk.prove.
+
+    The whole batch runs through the vmapped device-FS phase kernels:
+    2 host syncs total regardless of B or instance size."""
+    from . import hybrid
+    from .fused import assemble_plain_proof
+
+    B = len(devs)
+    (
+        batched, transcripts, comm_encs, taus, states, zs, vars_padded,
+        (nvp, mu_rows, mu_cols, mu_x),
+    ) = _common_setup(devs, vars_list, inputs_list, PROTO)
+
     eq_tau = _veq_jit(mu_x)(jnp.stack([_dev_vec(tau) for tau in taus]))
     az, bz, cz = batched.matvecs(zs)
-
-    # ---- batched phase-1 sumcheck ----------------------------------------
-    def run_batched_sumcheck(cubic, tables, claims, label):
-        n = tables[0].shape[1]
-        kernel = (_vcubic_jit if cubic else _vquad_jit)(n)
-        binder = _vbind_jit(n, len(tables))
-        es = [c % MOD for c in claims]
-        rounds = [[] for _ in range(B)]
-        rss = [[] for _ in range(B)]
-        active = n
-        while active > 1:
-            ah = jnp.int32(active // 2)
-            outs = kernel(*tables, ah)
-            cols = [_limbs_to_ints_batch(o) for o in outs]  # per eval point
-            rs_round = []
-            for b in range(B):
-                t = transcripts[b]
-                if cubic:
-                    e0, e2, e3 = cols[0][b], cols[1][b], cols[2][b]
-                    e1 = (es[b] - e0) % MOD
-                    t.append_scalar(label + b"/e0", _sb(e0))
-                    t.append_scalar(label + b"/e2", _sb(e2))
-                    t.append_scalar(label + b"/e3", _sb(e3))
-                    evals = [e0, e1, e2, e3]
-                else:
-                    e0, e2 = cols[0][b], cols[1][b]
-                    e1 = (es[b] - e0) % MOD
-                    t.append_scalar(label + b"/e0", _sb(e0))
-                    t.append_scalar(label + b"/e2", _sb(e2))
-                    evals = [e0, e1, e2]
-                r = t.challenge_scalar(label + b"/r")
-                rs_round.append(r)
-                rounds[b].append(evals)
-                rss[b].append(r)
-                es[b] = sumcheck.lagrange_eval(evals, r)
-            r_dev = jnp.stack([_dev_vec([r])[0] for r in rs_round])
-            tables = binder(r_dev, ah, *tables)
-            active //= 2
-        finals = [_limbs_to_ints_batch(tbl[:, 0]) for tbl in tables]
-        return rounds, rss, finals, es
-
-    p1s, rxs, finals1, _ = run_batched_sumcheck(
-        True, (eq_tau, az, bz, cz), [0] * B, b"sc1"
+    st1, rounds1, rxs, vabc, rabc = hybrid._phase1_batched(batched.num_cons)(
+        states, eq_tau, az, bz, cz
     )
-    vAs, vBs, vCs = finals1[1], finals1[2], finals1[3]
-    for b in range(B):
-        t = transcripts[b]
-        t.append_scalar(b"vA", _sb(vAs[b]))
-        t.append_scalar(b"vB", _sb(vBs[b]))
-        t.append_scalar(b"vC", _sb(vCs[b]))
+    e_rx = _veq_jit(mu_x)(rxs)
+    m_tables = batched.matvec_T_weighted(rabc, e_rx)
+    st2, rounds2, rys = hybrid._phase2_batched(batched.num_z)(
+        st1, m_tables, zs
+    )
+    u, claim_w = hybrid._opening_batched(nvp, mu_rows, mu_cols)(zs, rys)
 
-    r_as = [t.challenge_scalar(b"challenge_Az") for t in transcripts]
-    r_bs = [t.challenge_scalar(b"challenge_Bz") for t in transcripts]
-    r_cs = [t.challenge_scalar(b"challenge_Cz") for t in transcripts]
-    claims2 = [
-        (r_as[b] * vAs[b] + r_bs[b] * vBs[b] + r_cs[b] * vCs[b]) % MOD
+    r1_np, vabc_np, r2_np, u_np, cw_np = jax.device_get(
+        (rounds1, vabc, rounds2, u, claim_w)
+    )
+    return [
+        assemble_plain_proof(
+            transcripts[b], comm_encs[b], r1_np[b], vabc_np[b], r2_np[b],
+            u_np[b], cw_np[b], mu_x, mu_rows, mu_cols,
+        )
         for b in range(B)
     ]
-    e_rx = _veq_jit(mu_x)(jnp.stack([_dev_vec(rx) for rx in rxs]))
-    weights = jnp.stack(
-        [
-            jnp.stack([_dev_vec([r_as[b]])[0], _dev_vec([r_bs[b]])[0], _dev_vec([r_cs[b]])[0]])
-            for b in range(B)
-        ]
-    )
-    m_tables = batched.matvec_T_weighted(weights, e_rx)
-    p2s, rys, _, _ = run_batched_sumcheck(
-        False, (m_tables, zs), claims2, b"sc2"
-    )
 
-    # ---- openings --------------------------------------------------------
-    proofs = []
-    W_by_inst = W.reshape(B, 1 << mu_rows, 1 << mu_cols, -1)
-    for b in range(B):
-        ry = rys[b]
-        r_w = ry[1:]
-        eq_L = (
-            mle.eq_table(_dev_vec(r_w[:mu_rows]))
-            if mu_rows
-            else F.ones(SCALAR, (1,))
+
+def prove_many_zk(
+    devs: list, vars_list: list, inputs_list: list, seeds: list = None
+) -> list:
+    """-> list of ZKNIZKProof, byte-identical to zknizk.prove per instance
+    with the same seed (batched ZERO-KNOWLEDGE proving — the CLI default
+    mode composed with --batch, VERDICT r02 next #5)."""
+    import os as _os
+
+    from . import hybrid, zkfused
+    from .pedersen_host import BlindSource
+    from .zknizk import PROTO as ZK_PROTO
+
+    B = len(devs)
+    seeds = seeds or [_os.urandom(32) for _ in range(B)]
+    d0 = devs[0]
+    mu_rows, mu_cols = _hyrax_dims(d0.num_vars)
+    mu_x = (d0.num_cons - 1).bit_length()
+    mu_y = (d0.num_z - 1).bit_length()
+
+    rngs = [BlindSource(s) for s in seeds]
+    row_blinds = [rng.scalars(1 << mu_rows) for rng in rngs]
+
+    def sc_draws(rng, n_rounds, degree):
+        bp, bn, dd, rd, rb = [], [], [], [], []
+        for _ in range(n_rounds):
+            bp.append(rng.scalar())
+            bn.append(rng.scalar())
+            dd.append(rng.scalars(degree + 1))
+            rd.append(rng.scalar())
+            rb.append(rng.scalar())
+        return (
+            zkfused._devs(bp),
+            zkfused._devs(bn),
+            jnp.asarray([ints_to_limbs(d) for d in dd]),
+            zkfused._devs(rd),
+            zkfused._devs(rb),
         )
-        from .nizk import _row_combine_jit
 
-        u = _row_combine_jit((1 << mu_rows, 1 << mu_cols))(eq_L, W_by_inst[b])
-        u_ints = [int(v) for v in F.pack_ints(SCALAR, u)]
-        claim_w = _mle_eval_host(vars_padded[b], r_w)
-        t = transcripts[b]
-        t.append_scalar(b"claim_w", _sb(claim_w))
-        from .nizk import _prove_opening
+    sc1_blinds, abcs, prods, eq1_as, sc2_blinds = [], [], [], [], []
+    for rng in rngs:
+        sc1_blinds.append(sc_draws(rng, mu_x, 3))
+        abcs.append(rng.scalars(3) + [rng.scalar()])
+        prods.append(rng.scalars(5))
+        eq1_as.append(rng.scalar())
+        sc2_blinds.append(sc_draws(rng, mu_y, 2))
+    sc1_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sc1_blinds)
+    sc2_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sc2_blinds)
 
-        proof_bullet = _prove_opening(t, mu_rows, mu_cols, r_w, u_ints, claim_w)
+    (
+        batched, transcripts, comm_encs, taus, states, zs, vars_padded,
+        (nvp, mu_rows, mu_cols, mu_x),
+    ) = _common_setup(
+        devs, vars_list, inputs_list, ZK_PROTO, blinds_rows=row_blinds
+    )
+    # NOTE: in zk mode the transcripts are not replayed (the device states
+    # carry them); they only seeded the absorbs above.
+
+    tau_dev = jnp.stack([_dev_vec(tau) for tau in taus])
+    eq_tau = _veq_jit(mu_x)(tau_dev)
+    az, bz, cz = batched.matvecs(zs)
+    (
+        st_mid, sc1_encs, sc1_z, sc1_zdb, rxs, mid_encs, mid_z, rabc,
+        claim2, bclaim2,
+    ) = hybrid._zk_phase1_batched(batched.num_cons)(
+        states, tau_dev, eq_tau, az, bz, cz, sc1_b,
+        jnp.stack([zkfused._devs(a) for a in abcs]),
+        jnp.stack([zkfused._devs(pr) for pr in prods]),
+        jnp.stack([zkfused._dev(e) for e in eq1_as]),
+        zkfused._round_tables(3), zkfused._mid_tables(),
+    )
+    e_rx = _veq_jit(mu_x)(rxs)
+    m_tables = batched.matvec_T_weighted(rabc, e_rx)
+    (
+        st2, sc2_encs, sc2_z, sc2_zdb, rys, e2, be2,
+    ) = hybrid._zk_phase2_batched(batched.num_z)(
+        st_mid, m_tables, zs, claim2, bclaim2, sc2_b,
+        zkfused._round_tables(2),
+    )
+    mu_y2 = (batched.num_z - 1).bit_length()
+    e_ry = _veq_jit(mu_y2)(rys)
+    eabc = eval_at_batched(batched, e_rx, e_ry)
+    u, buwv = hybrid._zk_opening_batched(nvp, mu_rows, mu_cols)(
+        zs,
+        jnp.stack([zkfused._devs(rb) for rb in row_blinds]),
+        rys, eabc, rabc,
+    )
+
+    (
+        st2_np, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
+        sc2_encs, sc2_z, sc2_zdb, u_np, buwv_np, rys_np, e2_np, be2_np,
+    ) = jax.device_get(
+        (
+            st2, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
+            sc2_encs, sc2_z, sc2_zdb, u, buwv, rys, e2, be2,
+        )
+    )
+    proofs = []
+    for b in range(B):
+        tail_vals = np.stack(
+            [buwv_np[b][0], buwv_np[b][1], buwv_np[b][2], e2_np[b], be2_np[b]]
+        )
         proofs.append(
-            NIZKProof(
-                comm_vars=comm_encs[b],
-                phase1_polys=p1s[b],
-                claims_abc=(vAs[b], vBs[b], vCs[b]),
-                phase2_polys=p2s[b],
-                claim_w=claim_w,
-                bullet=proof_bullet,
+            zkfused.assemble_zk_proof(
+                devs[b], rngs[b], comm_encs[b], st2_np[b],
+                sc1_encs[b], sc1_z[b], sc1_zdb[b], mid_encs[b], mid_z[b],
+                sc2_encs[b], sc2_z[b], sc2_zdb[b], u_np[b], tail_vals,
+                rys_np[b],
             )
         )
     return proofs

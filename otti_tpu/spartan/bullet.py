@@ -93,7 +93,10 @@ def prove(
     from ..native import msm_host
 
     n = len(x)
-    assert n and (n & (n - 1)) == 0 and len(a) == n and len(G) >= n
+    # explicit errors (not assert: must survive python -O; ADVICE r02)
+    if not n or (n & (n - 1)) or len(a) != n or len(G) < n:
+        raise ValueError("bullet.prove: n must be a power of two with "
+                         "matching vector/generator lengths")
     G = list(G[:n])
     x = [v % L_ORDER for v in x]
     a = [v % L_ORDER for v in a]
@@ -119,7 +122,8 @@ def prove(
         L_vec.append(encL)
         R_vec.append(encR)
         u = t.challenge_scalar(b"u")
-        assert u != 0, "zero bullet challenge"
+        if u % L_ORDER == 0:  # negligible probability; inverting 0 would
+            raise ValueError("zero bullet challenge")  # silently corrupt
         ui = _inv(u)
         x = [(u * lo + ui * hi) % L_ORDER for lo, hi in zip(xL, xR)]
         a = [(ui * lo + u * hi) % L_ORDER for lo, hi in zip(aL, aR)]

@@ -58,31 +58,44 @@ def commit_vector(scalars_limbs: jax.Array, blind_int: int, n: int, label: bytes
 
 
 @functools.lru_cache(maxsize=None)
-def _commit_rows_jit(blk: int, cols: int, label: bytes, with_blinds: bool):
-    if with_blinds:
-        return jax.jit(
-            lambda m: pippenger.msm_fixed_base(
-                cols - 1, label, m, with_blind=True
-            )
+def _commit_rows_jit(with_blinds: bool):
+    """Comb tables are jit ARGUMENTS (not closed-over constants), so one
+    compiled executable serves every generator count with the same
+    (blk, cols) shape and the program carries no multi-MB constants."""
+
+    def impl(tbl, m, n_gens):
+        return pippenger.msm_fixed_base(
+            n_gens, b"", m, with_blind=with_blinds, tbl=tbl
         )
-    return jax.jit(lambda m: pippenger.msm_fixed_base(cols, label, m))
+
+    return jax.jit(impl, static_argnums=(2,))
 
 
-def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
+def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes, tbl=None):
     """Hyrax row commitments: matrix [rows, cols, L] -> batched device
     points, via the fixed-base comb method (no doublings; cached
-    generator tables) with row-chunking to bound the gather footprint."""
+    generator tables) with row-chunking to bound the gather footprint.
+
+    ``tbl``: pass the traced comb tables when calling from inside a jitted
+    kernel (e.g. the sharded provers) so they are not baked as constants.
+    Note: an explicit ``tbl`` must match ``with_blinds`` (the blind column
+    maps to the table's last generator)."""
     rows, cols = matrix_limbs.shape[0], matrix_limbs.shape[1]
     with_blinds = any(blinds)
+    n_gens = cols
     if with_blinds:
         matrix_limbs = jnp.concatenate(
             [matrix_limbs, jnp.asarray(ints_to_limbs(blinds))[:, None, :]], axis=1
         )
         cols += 1
+    if tbl is None:
+        tbl, _, _ = pippenger.fixed_base_tables(
+            n_gens, label, pippenger.FIXED_BASE_WINDOW, with_blinds
+        )
     n_win = -(-pippenger.SCALAR_BITS // pippenger.FIXED_BASE_WINDOW)
     blk = max(1, (1 << 18) // max(1, cols * n_win))
     blk = min(blk, rows)
-    fn = _commit_rows_jit(blk, cols, label, with_blinds)
+    fn = _commit_rows_jit(with_blinds)
     outs = []
     for s in range(0, rows, blk):
         chunk = matrix_limbs[s : s + blk]
@@ -91,7 +104,7 @@ def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes):
             chunk = jnp.concatenate(
                 [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
             )
-        outs.append(fn(chunk))
+        outs.append(fn(tbl, chunk, n_gens))
     full = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
     return jax.tree.map(lambda a: a[:rows], full)
 

@@ -206,6 +206,18 @@ def prove(
 
     # ---- host transcript replay / proof assembly ---------------------------
     comm_enc = [bytes(row.tobytes()) for row in np.asarray(enc_np)]
+    return assemble_plain_proof(
+        t, comm_enc, r1_np, vabc_np, r2_np, u_np, cw_np, mu_x, mu_rows, mu_cols
+    )
+
+
+def assemble_plain_proof(
+    t, comm_enc, r1_np, vabc_np, r2_np, u_np, cw_np, mu_x, mu_rows, mu_cols
+):
+    """Replay the transcript over device-produced round materials and build
+    the NIZKProof (shared by the single-dispatch and hybrid provers — the
+    wire format and absorb schedule are identical to nizk.prove)."""
+    comm_enc = list(comm_enc)
     for enc in comm_enc:
         t.append_point(b"poly_commitment", enc)
     r1_ints = _ints(np.asarray(r1_np))

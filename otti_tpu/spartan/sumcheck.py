@@ -159,15 +159,6 @@ def _step_quad_kernel(n: int):
     return k
 
 
-@functools.lru_cache(maxsize=None)
-def _bind_kernel(n: int, k_tables: int):
-    @jax.jit
-    def k(r, active_half, *tables):
-        return _bind_tables(r, active_half, tables)
-
-    return k
-
-
 # ---------------------------------------------------------------------------
 # Generic custom-combination sumcheck (used by the SPARK layer): the round
 # combination function is looked up in a registry by key so kernels stay

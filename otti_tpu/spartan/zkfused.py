@@ -60,24 +60,12 @@ def _devs(xs) -> jax.Array:
     return jnp.asarray(ints_to_limbs([x % MOD for x in xs]))
 
 
-def _commit(vals_then_blind: list):
-    """sum_i v_i * G_i + blind * H as a device point (fixed-base comb).
-
-    ``vals_then_blind`` = [v_0, .., v_{k-1}, blind] limb vectors; generator
-    prefix G_0..G_{k-1} matches pedersen_host.Gens (same label derivation).
-    """
-    mat = jnp.stack(vals_then_blind)[None]  # [1, k+1, L]
-    out = pippenger.msm_fixed_base(
-        len(vals_then_blind) - 1, GENS_LABEL, mat, with_blind=True
-    )
-    return jax.tree.map(lambda a: a[0], out)
-
-
-def _commit_rows_blinded(W: jax.Array, row_blinds: jax.Array):
+def _commit_rows_blinded(W: jax.Array, row_blinds: jax.Array, tbl=None):
     """Blinded Hyrax row commitments [rows, cols(,L)] + [rows, L] -> points.
 
     Same chunked fixed-base comb as commitments.commit_rows but with
-    *traced* blinds (the host helper takes python ints)."""
+    *traced* blinds (the host helper takes python ints).  ``tbl``: traced
+    comb tables for the cols generators + H when called under jit."""
     rows, cols = W.shape[0], W.shape[1]
     mat = jnp.concatenate([W, row_blinds[:, None, :]], axis=1)
     n_win = -(-pippenger.SCALAR_BITS // pippenger.FIXED_BASE_WINDOW)
@@ -86,7 +74,9 @@ def _commit_rows_blinded(W: jax.Array, row_blinds: jax.Array):
     for s in range(0, rows, blk):
         chunk = mat[s : min(s + blk, rows)]
         outs.append(
-            pippenger.msm_fixed_base(cols, GENS_LABEL, chunk, with_blind=True)
+            pippenger.msm_fixed_base(
+                cols, GENS_LABEL, chunk, with_blind=True, tbl=tbl
+            )
         )
     if len(outs) == 1:
         return outs[0]
@@ -120,96 +110,162 @@ def _vandermonde_inv_limbs(degree: int):
     )
 
 
-def _zk_round_scan(label: bytes, degree: int):
-    """lax.scan body for one ZK sumcheck phase.
+def _round_tables(degree: int):
+    """Comb tables for the per-round commitment generators G_0..G_degree, H
+    (device arrays, cached) — passed INTO the jitted kernels as arguments
+    so they are uploaded once instead of baked into every executable."""
+    tbl, _, _ = pippenger.fixed_base_tables(
+        degree + 1, GENS_LABEL, pippenger.FIXED_BASE_WINDOW, True
+    )
+    return tbl
+
+
+def _mid_tables():
+    tbl, _, _ = pippenger.fixed_base_tables(
+        1, GENS_LABEL, pippenger.FIXED_BASE_WINDOW, True
+    )
+    return tbl
+
+
+def _zk_round_from_evals(label: bytes, degree: int, tbl, state, e, be, evs, xs):
+    """One ZK round's transcript + sigma logic, given the round evals.
+
+    ``evs`` = [p(0), p(2), (p(3))] canonical evals (p(1) derived from the
+    running claim ``e``); the table folding is the CALLER's job (local for
+    the single-chip scan, cyclic-local for the sharded prover).  Returns
+    (state', e_next, b_next, r, encs [4,32], z, zdb).
+
+    The round's five Pedersen commitments are computed in THREE batched
+    fixed-base MSMs grouped by Fiat-Shamir dependency ({C_poly, delta}
+    before r; {C_eval} after r; {C_y, beta} after w0/w1), and their
+    ristretto encodings in three batched calls — the absorb ORDER (and so
+    the wire) is unchanged, but the compile graph carries 3 commit + 3
+    encode callsites instead of 5 + 5."""
+    Minv = _vandermonde_inv_limbs(degree)
+    b_poly, b_next, d_vec, r_delta, r_beta = xs
+    zero = F.zeros(())
+    if degree == 3:
+        ev = [evs[0], None, evs[1], evs[2]]
+    else:
+        ev = [evs[0], None, evs[1]]
+    ev[1] = F.canon(SCALAR, F.sub(SCALAR, e, ev[0]))
+    coeffs = []
+    for i in range(degree + 1):
+        acc = F.mul(SCALAR, jnp.asarray(Minv[i][0]), ev[0])
+        for j in range(1, degree + 1):
+            acc = F.add(
+                SCALAR, acc, F.mul(SCALAR, jnp.asarray(Minv[i][j]), ev[j])
+            )
+        coeffs.append(acc)
+
+    def _commit_batch(rows):
+        """rows: list of scalar lists, each (degree+2) long with the blind
+        last -> [len(rows)] points over G_0..G_degree, H."""
+        mat = jnp.stack([jnp.stack(r) for r in rows])
+        return pippenger.msm_fixed_base(
+            degree + 1, GENS_LABEL, mat, with_blind=True, tbl=tbl
+        )
+
+    t = DeviceTranscript(
+        _strobe=DeviceStrobe.from_state(state, *_POST_CHALLENGE)
+    )
+    # group 1 (independent of every challenge): C_poly and delta
+    g1 = _commit_batch(
+        [
+            coeffs + [b_poly],
+            [d_vec[k] for k in range(degree + 1)] + [r_delta],
+        ]
+    )
+    enc_g1 = ristretto.encode(g1)
+    enc_poly, enc_delta = enc_g1[0], enc_g1[1]
+    t.append_message(label + b"/comm_poly", enc_poly)
+    r = t.challenge_scalar_limbs(label + b"/r")
+
+    e_next = coeffs[-1]  # Horner
+    for c in reversed(coeffs[:-1]):
+        e_next = F.add(SCALAR, c, F.mul(SCALAR, r, e_next))
+    pad = [zero] * degree
+    C_next = _commit_batch([[e_next] + pad + [b_next]])
+    enc_next = ristretto.encode(jax.tree.map(lambda a: a[0], C_next))
+    t.append_message(label + b"/comm_eval", enc_next)
+    w0 = t.challenge_scalar_limbs(label + b"/w0")
+    w1 = t.challenge_scalar_limbs(label + b"/w1")
+
+    # weight vector a = w0*(2,1,..,1) + w1*(1, r, r^2, ...)
+    a = []
+    r_pow = F.ones(SCALAR, ())
+    for k in range(degree + 1):
+        base = F.add(SCALAR, w0, w0) if k == 0 else w0
+        a.append(F.canon(SCALAR, F.add(SCALAR, base, F.mul(SCALAR, w1, r_pow))))
+        if k < degree:
+            r_pow = F.mul(SCALAR, r_pow, r)
+
+    # DotProductProof: ties committed coeffs to committed claims
+    t.append_message(b"protocol-name", b"dot product proof")
+    t.append_message(b"Cx", enc_poly)
+    y = F.add(SCALAR, F.mul(SCALAR, w0, e), F.mul(SCALAR, w1, e_next))
+    ry_b = F.add(SCALAR, F.mul(SCALAR, w0, be), F.mul(SCALAR, w1, b_next))
+    dy = F.dot(SCALAR, d_vec, jnp.stack(a))
+    # group 3 (needs w0/w1): C_y and beta
+    g3 = _commit_batch(
+        [[y] + pad + [ry_b], [dy] + pad + [r_beta]]
+    )
+    enc_g3 = ristretto.encode(g3)
+    t.append_message(b"Cy", enc_g3[0])
+    enc_beta = enc_g3[1]
+    for ak in a:
+        t.append_scalar_limbs(b"a", ak)
+    t.append_message(b"delta", enc_delta)
+    t.append_message(b"beta", enc_beta)
+    c = t.challenge_scalar_limbs(b"c")
+
+    z = jnp.stack(
+        [
+            F.canon(
+                SCALAR,
+                F.add(SCALAR, F.mul(SCALAR, c, coeffs[k]), d_vec[k]),
+            )
+            for k in range(degree + 1)
+        ]
+    )
+    z_delta = F.canon(
+        SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_poly), r_delta)
+    )
+    z_beta = F.canon(SCALAR, F.add(SCALAR, F.mul(SCALAR, c, ry_b), r_beta))
+    encs = jnp.stack([enc_poly, enc_next, enc_delta, enc_beta])  # [4, 32]
+    return (
+        t.strobe.state,
+        e_next,
+        b_next,
+        r,
+        encs,
+        z,
+        jnp.stack([z_delta, z_beta]),
+    )
+
+
+def _zk_round_scan(label: bytes, degree: int, tbl):
+    """lax.scan body for one single-chip ZK sumcheck phase: masked local
+    evals -> _zk_round_from_evals -> masked local bind.
 
     carry = (sponge state, active_half, tables, e, be); xs = per-round
     blinds (b_poly, b_next, d[degree+1], r_delta, r_beta) limb arrays.
+    ``tbl``: traced comb tables for G_0..G_degree, H (see _round_tables).
     Mirrors zksumcheck.prove_zk + sigma.DotProductProof.prove message for
     message."""
-    Minv = _vandermonde_inv_limbs(degree)
 
     def body(carry, xs):
         state, ah, tables, e, be = carry
-        b_poly, b_next, d_vec, r_delta, r_beta = xs
         if degree == 3:
             evs = sumcheck._cubic_evals(*tables, ah)
-            ev = [evs[0], None, evs[1], evs[2]]
         else:
             evs = sumcheck._quad_evals(*tables, ah)
-            ev = [evs[0], None, evs[1]]
-        ev[1] = F.canon(SCALAR, F.sub(SCALAR, e, ev[0]))
-        coeffs = []
-        for i in range(degree + 1):
-            acc = F.mul(SCALAR, jnp.asarray(Minv[i][0]), ev[0])
-            for j in range(1, degree + 1):
-                acc = F.add(
-                    SCALAR, acc, F.mul(SCALAR, jnp.asarray(Minv[i][j]), ev[j])
-                )
-            coeffs.append(acc)
-
-        t = DeviceTranscript(
-            _strobe=DeviceStrobe.from_state(state, *_POST_CHALLENGE)
+        state, e_next, b_next, r, encs, z, zdb = _zk_round_from_evals(
+            label, degree, tbl, state, e, be, evs, xs
         )
-        C_poly = _commit(coeffs + [b_poly])
-        enc_poly = ristretto.encode(C_poly)
-        t.append_message(label + b"/comm_poly", enc_poly)
-        r = t.challenge_scalar_limbs(label + b"/r")
-
-        e_next = coeffs[-1]  # Horner
-        for c in reversed(coeffs[:-1]):
-            e_next = F.add(SCALAR, c, F.mul(SCALAR, r, e_next))
-        C_next = _commit([e_next, b_next])
-        enc_next = ristretto.encode(C_next)
-        t.append_message(label + b"/comm_eval", enc_next)
-        w0 = t.challenge_scalar_limbs(label + b"/w0")
-        w1 = t.challenge_scalar_limbs(label + b"/w1")
-
-        # weight vector a = w0*(2,1,..,1) + w1*(1, r, r^2, ...)
-        a = []
-        r_pow = F.ones(SCALAR, ())
-        for k in range(degree + 1):
-            base = F.add(SCALAR, w0, w0) if k == 0 else w0
-            a.append(F.canon(SCALAR, F.add(SCALAR, base, F.mul(SCALAR, w1, r_pow))))
-            if k < degree:
-                r_pow = F.mul(SCALAR, r_pow, r)
-
-        # DotProductProof: ties committed coeffs to committed claims
-        t.append_message(b"protocol-name", b"dot product proof")
-        t.append_message(b"Cx", enc_poly)
-        y = F.add(SCALAR, F.mul(SCALAR, w0, e), F.mul(SCALAR, w1, e_next))
-        ry_b = F.add(SCALAR, F.mul(SCALAR, w0, be), F.mul(SCALAR, w1, b_next))
-        C_y = _commit([y, ry_b])
-        t.append_message(b"Cy", ristretto.encode(C_y))
-        for ak in a:
-            t.append_scalar_limbs(b"a", ak)
-        delta = _commit([d_vec[k] for k in range(degree + 1)] + [r_delta])
-        enc_delta = ristretto.encode(delta)
-        dy = F.dot(SCALAR, d_vec, jnp.stack(a))
-        beta = _commit([dy, r_beta])
-        enc_beta = ristretto.encode(beta)
-        t.append_message(b"delta", enc_delta)
-        t.append_message(b"beta", enc_beta)
-        c = t.challenge_scalar_limbs(b"c")
-
-        z = jnp.stack(
-            [
-                F.canon(
-                    SCALAR,
-                    F.add(SCALAR, F.mul(SCALAR, c, coeffs[k]), d_vec[k]),
-                )
-                for k in range(degree + 1)
-            ]
-        )
-        z_delta = F.canon(
-            SCALAR, F.add(SCALAR, F.mul(SCALAR, c, b_poly), r_delta)
-        )
-        z_beta = F.canon(SCALAR, F.add(SCALAR, F.mul(SCALAR, c, ry_b), r_beta))
-
         tables = sumcheck._bind_tables(r, ah, tables)
-        encs = jnp.stack([enc_poly, enc_next, enc_delta, enc_beta])  # [4, 32]
-        out = (encs, z, jnp.stack([z_delta, z_beta]), r)
-        return (t.strobe.state, ah // 2, tables, e_next, b_next), out
+        out = (encs, z, zdb, r)
+        return (state, ah // 2, tables, e_next, b_next), out
 
     return body
 
@@ -220,6 +276,134 @@ def _prod_eq(vals: jax.Array) -> jax.Array:
     for i in range(1, vals.shape[0]):
         acc = F.mul(SCALAR, acc, vals[i])
     return acc
+
+
+def _mid_zk(
+    state1, tau, rxs, vA, vB, vC, abc_blinds, prod_blinds, eq1_a, e1, be1,
+    tbl_mid,
+):
+    """Inter-phase ZK section (device): claim commitments CA/CB/CC, the
+    product sigma proof for vA*vB, the phase-1 equality proof, and the
+    phase-2 challenges.  Shared by the single-dispatch core and the hybrid
+    multi-dispatch prover (byte-identical schedule).  ``tbl_mid``: traced
+    comb tables for (G_0, H).
+
+    Returns (state, mid_encs [8, 32], mid_z [6, L], rabc [3, L], claim2,
+    bclaim2)."""
+    one = F.ones(SCALAR, ())
+    zero = F.zeros(())
+    t = DeviceTranscript(
+        _strobe=DeviceStrobe.from_state(state1, *_POST_CHALLENGE)
+    )
+    bA, bB, bC, b_ab = (abc_blinds[i] for i in range(4))
+    b1, b2, b3, b4, b5 = (prod_blinds[i] for i in range(5))
+    v_ab = F.mul(SCALAR, vA, vB)
+    eq_terms = F.add(
+        SCALAR,
+        F.mul(SCALAR, tau, rxs),
+        F.mul(SCALAR, F.sub(SCALAR, one, tau), F.sub(SCALAR, one, rxs)),
+    )
+    eq_val = _prod_eq(eq_terms)
+    r2_eq1 = F.mul(SCALAR, eq_val, F.sub(SCALAR, b_ab, bC))
+
+    # every commitment in this section is challenge-independent, so the
+    # whole set is ONE batched fixed-base MSM + ONE batched encode (plus
+    # the single variable-base term CA*b3 of the product proof); the
+    # absorb ORDER below is unchanged, so the wire stays byte-identical
+    rows = [
+        [vA, bA], [vB, bB], [vC, bC], [v_ab, b_ab],
+        [b1, b2], [b3, b4], [zero, b5],
+        [e1, be1], [e1, r2_eq1], [zero, eq1_a],
+    ]
+    batch = pippenger.msm_fixed_base(
+        1, GENS_LABEL, jnp.stack([jnp.stack(r) for r in rows]),
+        with_blind=True, tbl=tbl_mid,
+    )
+    CA = jax.tree.map(lambda a: a[0], batch)
+    delta_p = E.add(
+        E.scalar_mul(CA, b3), jax.tree.map(lambda a: a[6], batch)
+    )
+    all_pts = jax.tree.map(
+        lambda b, d: jnp.concatenate([b, d[None]], axis=0), batch, delta_p
+    )
+    encs = ristretto.encode(all_pts)  # [11, 32]
+    (
+        enc_CA, enc_CB, enc_CC, enc_Cab, enc_alpha_p, enc_beta_p, _,
+        enc_C1, enc_C2, enc_alpha_eq1, enc_delta_p,
+    ) = (encs[i] for i in range(11))
+
+    t.append_message(b"CA", enc_CA)
+    t.append_message(b"CB", enc_CB)
+    t.append_message(b"CC", enc_CC)
+
+    # ProductProof(vA, bA, vB, bB, b_ab)  [sigma.py order]
+    t.append_message(b"protocol-name", b"product proof")
+    t.append_message(b"Cx", enc_CA)
+    t.append_message(b"Cy", enc_CB)
+    t.append_message(b"Cz", enc_Cab)
+    t.append_message(b"alpha", enc_alpha_p)
+    t.append_message(b"beta", enc_beta_p)
+    t.append_message(b"delta", enc_delta_p)
+    c = t.challenge_scalar_limbs(b"c")
+    z1 = F.canon(SCALAR, F.add(SCALAR, b1, F.mul(SCALAR, c, vA)))
+    z2 = F.canon(SCALAR, F.add(SCALAR, b2, F.mul(SCALAR, c, bA)))
+    z3 = F.canon(SCALAR, F.add(SCALAR, b3, F.mul(SCALAR, c, vB)))
+    z4 = F.canon(SCALAR, F.add(SCALAR, b4, F.mul(SCALAR, c, bB)))
+    z5 = F.canon(
+        SCALAR,
+        F.add(
+            SCALAR,
+            b5,
+            F.mul(SCALAR, c, F.sub(SCALAR, b_ab, F.mul(SCALAR, bA, vB))),
+        ),
+    )
+
+    # EqualityProof: e1 vs eq(tau, rx) * (vAB - vC)
+    t.append_message(b"protocol-name", b"equality proof")
+    t.append_message(b"C1", enc_C1)
+    t.append_message(b"C2", enc_C2)
+    t.append_message(b"alpha", enc_alpha_eq1)
+    c = t.challenge_scalar_limbs(b"c")
+    z_eq1 = F.canon(
+        SCALAR,
+        F.add(SCALAR, F.mul(SCALAR, c, F.sub(SCALAR, be1, r2_eq1)), eq1_a),
+    )
+
+    # ---- phase-2 challenges + committed claim2 ----------------------------
+    r_a = t.challenge_scalar_limbs(b"challenge_Az")
+    r_b = t.challenge_scalar_limbs(b"challenge_Bz")
+    r_c = t.challenge_scalar_limbs(b"challenge_Cz")
+    claim2 = F.add(
+        SCALAR,
+        F.add(SCALAR, F.mul(SCALAR, r_a, vA), F.mul(SCALAR, r_b, vB)),
+        F.mul(SCALAR, r_c, vC),
+    )
+    bclaim2 = F.add(
+        SCALAR,
+        F.add(SCALAR, F.mul(SCALAR, r_a, bA), F.mul(SCALAR, r_b, bB)),
+        F.mul(SCALAR, r_c, bC),
+    )
+    mid_encs = jnp.stack(
+        [
+            enc_CA,
+            enc_CB,
+            enc_CC,
+            enc_Cab,
+            enc_alpha_p,
+            enc_beta_p,
+            enc_delta_p,
+            enc_alpha_eq1,
+        ]
+    )
+    mid_z = jnp.stack([z1, z2, z3, z4, z5, z_eq1])
+    return (
+        t.strobe.state,
+        mid_encs,
+        mid_z,
+        jnp.stack([r_a, r_b, r_c]),
+        claim2,
+        bclaim2,
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -233,7 +417,6 @@ def _core(
 ):
     mu_x = (num_cons - 1).bit_length()
     mu_y = (num_z - 1).bit_length()
-    one = F.ones(SCALAR, ())
 
     def run(
         state,
@@ -244,13 +427,15 @@ def _core(
         prod_blinds,  # [5, L]
         eq1_a,  # [L]
         sc2_blinds,
+        tbls,  # (rows-commit tables, sc1 tables, mid tables, sc2 tables)
         *flat,
     ):
+        tbl_commit, tbl_sc1, tbl_mid, tbl_sc2 = tbls
         t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
 
         # ---- blinded witness commitment -----------------------------------
         W = z[:num_vars].reshape(1 << mu_rows, 1 << mu_cols, -1)
-        comm = _commit_rows_blinded(W, row_blinds)
+        comm = _commit_rows_blinded(W, row_blinds, tbl_commit)
         enc_rows = ristretto.encode(comm)  # [rows, 32]
         for i in range(1 << mu_rows):
             t.append_message(b"poly_commitment", enc_rows[i])
@@ -267,111 +452,32 @@ def _core(
             F.zeros(()),
         )
         carry, (sc1_encs, sc1_z, sc1_zdb, rxs) = jax.lax.scan(
-            _zk_round_scan(b"sc1", 3), carry, sc1_blinds, length=mu_x
+            _zk_round_scan(b"sc1", 3, tbl_sc1), carry, sc1_blinds, length=mu_x
         )
         state1, _, tables1, e1, be1 = carry
         vA = F.canon(SCALAR, tables1[1][0])
         vB = F.canon(SCALAR, tables1[2][0])
         vC = F.canon(SCALAR, tables1[3][0])
 
-        # ---- claim commitments + product + equality sigma proofs ----------
-        t = DeviceTranscript(
-            _strobe=DeviceStrobe.from_state(state1, *_POST_CHALLENGE)
+        # ---- claim commitments + sigma proofs + phase-2 challenges --------
+        state_mid, mid_encs, mid_z, rabc, claim2, bclaim2 = _mid_zk(
+            state1, tau, rxs, vA, vB, vC, abc_blinds, prod_blinds, eq1_a,
+            e1, be1, tbl_mid,
         )
-        bA, bB, bC, b_ab = (abc_blinds[i] for i in range(4))
-        CA = _commit([vA, bA])
-        CB = _commit([vB, bB])
-        CC = _commit([vC, bC])
-        enc_CA, enc_CB, enc_CC = (
-            ristretto.encode(P) for P in (CA, CB, CC)
-        )
-        t.append_message(b"CA", enc_CA)
-        t.append_message(b"CB", enc_CB)
-        t.append_message(b"CC", enc_CC)
-
-        # ProductProof(vA, bA, vB, bB, b_ab)  [sigma.py order]
-        t.append_message(b"protocol-name", b"product proof")
-        v_ab = F.mul(SCALAR, vA, vB)
-        C_ab = _commit([v_ab, b_ab])
-        enc_Cab = ristretto.encode(C_ab)
-        t.append_message(b"Cx", enc_CA)
-        t.append_message(b"Cy", enc_CB)
-        t.append_message(b"Cz", enc_Cab)
-        b1, b2, b3, b4, b5 = (prod_blinds[i] for i in range(5))
-        alpha_p = _commit([b1, b2])
-        beta_p = _commit([b3, b4])
-        delta_p = E.add(E.scalar_mul(CA, b3), _commit([F.zeros(()), b5]))
-        enc_alpha_p = ristretto.encode(alpha_p)
-        enc_beta_p = ristretto.encode(beta_p)
-        enc_delta_p = ristretto.encode(delta_p)
-        t.append_message(b"alpha", enc_alpha_p)
-        t.append_message(b"beta", enc_beta_p)
-        t.append_message(b"delta", enc_delta_p)
-        c = t.challenge_scalar_limbs(b"c")
-        z1 = F.canon(SCALAR, F.add(SCALAR, b1, F.mul(SCALAR, c, vA)))
-        z2 = F.canon(SCALAR, F.add(SCALAR, b2, F.mul(SCALAR, c, bA)))
-        z3 = F.canon(SCALAR, F.add(SCALAR, b3, F.mul(SCALAR, c, vB)))
-        z4 = F.canon(SCALAR, F.add(SCALAR, b4, F.mul(SCALAR, c, bB)))
-        z5 = F.canon(
-            SCALAR,
-            F.add(
-                SCALAR,
-                b5,
-                F.mul(
-                    SCALAR, c, F.sub(SCALAR, b_ab, F.mul(SCALAR, bA, vB))
-                ),
-            ),
-        )
-
-        # EqualityProof: e1 vs eq(tau, rx) * (vAB - vC)
-        t.append_message(b"protocol-name", b"equality proof")
-        eq_terms = F.add(
-            SCALAR,
-            F.mul(SCALAR, tau, rxs),
-            F.mul(SCALAR, F.sub(SCALAR, one, tau), F.sub(SCALAR, one, rxs)),
-        )
-        eq_val = _prod_eq(eq_terms)
-        r2_eq1 = F.mul(SCALAR, eq_val, F.sub(SCALAR, b_ab, bC))
-        C1_eq1 = _commit([e1, be1])
-        C2_eq1 = _commit([e1, r2_eq1])
-        t.append_message(b"C1", ristretto.encode(C1_eq1))
-        t.append_message(b"C2", ristretto.encode(C2_eq1))
-        alpha_eq1 = _commit([F.zeros(()), eq1_a])
-        enc_alpha_eq1 = ristretto.encode(alpha_eq1)
-        t.append_message(b"alpha", enc_alpha_eq1)
-        c = t.challenge_scalar_limbs(b"c")
-        z_eq1 = F.canon(
-            SCALAR,
-            F.add(
-                SCALAR, F.mul(SCALAR, c, F.sub(SCALAR, be1, r2_eq1)), eq1_a
-            ),
-        )
+        r_a, r_b, r_c = rabc[0], rabc[1], rabc[2]
 
         # ---- phase 2 (ZK) -------------------------------------------------
-        r_a = t.challenge_scalar_limbs(b"challenge_Az")
-        r_b = t.challenge_scalar_limbs(b"challenge_Bz")
-        r_c = t.challenge_scalar_limbs(b"challenge_Cz")
-        claim2 = F.add(
-            SCALAR,
-            F.add(SCALAR, F.mul(SCALAR, r_a, vA), F.mul(SCALAR, r_b, vB)),
-            F.mul(SCALAR, r_c, vC),
-        )
-        bclaim2 = F.add(
-            SCALAR,
-            F.add(SCALAR, F.mul(SCALAR, r_a, bA), F.mul(SCALAR, r_b, bB)),
-            F.mul(SCALAR, r_c, bC),
-        )
         e_rx = mle._eq_table_impl(rxs)
         m_table = r1cs._mtw_jit(num_z)((r_a, r_b, r_c), e_rx, *flat)
         carry = (
-            t.strobe.state,
+            state_mid,
             jnp.int32(num_z // 2),
             (m_table, z),
             claim2,
             bclaim2,
         )
         carry, (sc2_encs, sc2_z, sc2_zdb, rys) = jax.lax.scan(
-            _zk_round_scan(b"sc2", 2), carry, sc2_blinds, length=mu_y
+            _zk_round_scan(b"sc2", 2, tbl_sc2), carry, sc2_blinds, length=mu_y
         )
         state2, _, _, e2, be2 = carry
 
@@ -402,19 +508,6 @@ def _core(
             ),
         )
 
-        mid_encs = jnp.stack(
-            [
-                enc_CA,
-                enc_CB,
-                enc_CC,
-                enc_Cab,
-                enc_alpha_p,
-                enc_beta_p,
-                enc_delta_p,
-                enc_alpha_eq1,
-            ]
-        )
-        mid_z = jnp.stack([z1, z2, z3, z4, z5, z_eq1])
         tail_vals = jnp.stack(
             [b_u, w_eval, v_m, F.canon(SCALAR, e2), F.canon(SCALAR, be2)]
         )
@@ -502,6 +595,14 @@ def prove(
     core = _core(
         dev.num_cons, dev.num_z, nvp, mu_rows, mu_cols, (pos, pos_begin, cur_flags)
     )
+    tbls = (
+        pippenger.fixed_base_tables(
+            1 << mu_cols, GENS_LABEL, pippenger.FIXED_BASE_WINDOW, True
+        )[0],
+        _round_tables(3),
+        _mid_tables(),
+        _round_tables(2),
+    )
     with metrics.timed("zkfused_prove"):
         out = core(
             jnp.asarray(st_np),
@@ -512,6 +613,7 @@ def prove(
             _devs(prod),
             _dev(eq1_a),
             sc2_blinds,
+            tbls,
             *dev._flat_mats(),
         )
         (
@@ -530,6 +632,34 @@ def prove(
             rys_limb,
         ) = jax.device_get(out)
     metrics.add("sumcheck_rounds", mu_x)
+    comm_enc = [
+        bytes(np.asarray(enc_rows[i]).tobytes())
+        for i in range(enc_rows.shape[0])
+    ]
+    return assemble_zk_proof(
+        dev, rng, comm_enc, state2,
+        sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
+        sc2_encs, sc2_z, sc2_zdb, u_limb, tail_vals, rys_limb,
+    )
+
+
+def assemble_zk_proof(
+    dev, rng, comm_enc, state2,
+    sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
+    sc2_encs, sc2_z, sc2_zdb, u_limb, tail_vals, rys_limb,
+):
+    """Package device-produced ZK round materials into a ZKNIZKProof and
+    run the host tail (blinded bullet opening + eq2), resuming the
+    transcript from the device sponge state.  Shared by the single-
+    dispatch and hybrid provers; ``rng`` must be positioned exactly after
+    the sc2 blind draws (zknizk.prove's order).
+
+    tail_vals = [b_u, w_eval, v_m, e2, be2] canonical limb rows."""
+    nvp = dev.num_vars
+    mu_rows, mu_cols = _hyrax_dims(nvp)
+    mu_x = (dev.num_cons - 1).bit_length()
+    mu_y = (dev.num_z - 1).bit_length()
+    cols = 1 << mu_cols
 
     def enc(a) -> bytes:
         return bytes(np.asarray(a).tobytes())
@@ -572,7 +702,7 @@ def prove(
     )
 
     return ZKNIZKProof(
-        comm_vars=[enc(enc_rows[i]) for i in range(enc_rows.shape[0])],
+        comm_vars=list(comm_enc),
         sc1=sc_proof(sc1_encs, sc1_z, sc1_zdb, mu_x, 3),
         comm_abc=(enc(mid_encs[0]), enc(mid_encs[1]), enc(mid_encs[2])),
         comm_ab=enc(mid_encs[3]),

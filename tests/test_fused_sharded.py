@@ -51,3 +51,34 @@ def test_sharded_matches_single_chip(k, n_cons, n_vars, n_inputs):
     assert pk.bullet == p1.bullet
     assert pk.claim_w == p1.claim_w
     assert nizk.verify(dev, inputs, pk)
+
+
+@pytest.mark.parametrize("k", [2, 8])
+def test_zk_sharded_matches_zknizk(k):
+    """Sharded ZK prover: byte-identical to zknizk.prove with the same
+    blind seed (VERDICT r02 next #4 — multi-chip for the DEFAULT mode)."""
+    import dataclasses
+
+    from otti_tpu.spartan import zknizk
+
+    if len(jax.devices()) < k:
+        pytest.skip("needs %d devices" % k)
+    shape, zvars, inputs = _random_r1cs(72, 40, 4, seed=500 + k)
+    dev = shape.to_device()
+    seed = bytes([k]) * 32
+
+    p_ref = zknizk.prove(dev, zvars, inputs, seed=seed)
+    p_k = fused_prover.prove_zk(dev, zvars, inputs, k=k, seed=seed)
+
+    def eq(a, b):
+        if dataclasses.is_dataclass(a):
+            return type(a) is type(b) and all(
+                eq(getattr(a, f.name), getattr(b, f.name))
+                for f in dataclasses.fields(a)
+            )
+        if isinstance(a, (list, tuple)):
+            return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+        return a == b
+
+    assert eq(p_ref, p_k)
+    assert zknizk.verify(dev, inputs, p_k)
