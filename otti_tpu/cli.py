@@ -202,7 +202,7 @@ def _mesh_size(mesh, shape) -> int:
 
 def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False,
-    snark=False, emit_zkif=False, mesh=None,
+    snark=False, emit_zkif=False, mesh=None, wire="otti",
 ):
     if emit_zkif and out_dir:
         # reference-format artifact triple per instance (run.py:47-49
@@ -224,7 +224,16 @@ def prove_and_verify(
     use_fused = _choose_fused(shape)
     classic = bool(os.environ.get("OTTI_CLASSIC"))
     mesh_k = _mesh_size(mesh, shape)
-    if mesh_k > 1 and not snark:
+    verify_fn = None
+    if zk and wire != "otti":
+        # upstream-Spartan label schedule: host zk prover (the device-FS
+        # kernels bake the native labels; see spartan/wire.py)
+        from .spartan import zknizk
+
+        prove_fn = lambda d, v, i: zknizk.prove(d, v, i, wire=wire)
+        verify_fn = lambda d, i, p: zknizk.verify(d, i, p, wire=wire)
+        prover = zknizk
+    elif mesh_k > 1 and not snark:
         # multi-chip path (--mesh): the sharded single-dispatch provers;
         # byte-identical wire, ~1 psum of 2-3 scalars per sumcheck round
         from .parallel import fused_prover
@@ -275,7 +284,7 @@ def prove_and_verify(
             shape.num_cons / timer.t["prove"], 1
         )
     with timer.time("verify"):
-        ok = prover.verify(dev, inputs, proof)
+        ok = (verify_fn or prover.verify)(dev, inputs, proof)
     if ok:
         _stage(f"Verification successful for {name}  [{timer.report()}  proof={proof.size_bytes()}B]")
     else:
@@ -358,7 +367,7 @@ def _prove_and_verify_snark(shape, vars_, inputs, name, timer, out_dir=None):
 
 def run_lp(files, home_out, prove=True, zk=False, resume=False,
            snark=False, delta=None, emit_zkif=False, mesh=None,
-           batch=False):
+           batch=False, wire="otti"):
     from .codegen import lp_cert
     from .io import mps
     from .oracle import lp_oracle
@@ -399,7 +408,7 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False,
             elif prove:
                 ok_all &= prove_and_verify(
                     shape, vars_, inputs, name, timer, out_dir, zk, snark,
-                    emit_zkif, mesh,
+                    emit_zkif, mesh, wire,
                 )
             else:
                 _stage(
@@ -416,7 +425,7 @@ def run_lp(files, home_out, prove=True, zk=False, resume=False,
 
 def run_sdp(files, home_out, prove=True, zk=False, resume=False,
             snark=False, epsilon=None, emit_zkif=False, mesh=None,
-            batch=False):
+            batch=False, wire="otti"):
     from .codegen import sdp_cert
     from .io import sdpa
     from .oracle import sdp_oracle
@@ -461,7 +470,7 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
             elif prove:
                 ok_all &= prove_and_verify(
                     shape, vars_, inputs, name, timer, out_dir, zk,
-                    snark, emit_zkif, mesh,
+                    snark, emit_zkif, mesh, wire,
                 )
             else:
                 _stage(
@@ -478,7 +487,7 @@ def run_sdp(files, home_out, prove=True, zk=False, resume=False,
 
 def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
             resume=False, batch=False, snark=False, emit_zkif=False,
-            mesh=None):
+            mesh=None, wire="otti"):
     from .codegen import sgd_cert
     from .io import pmlb_local
     from .oracle import sgd_oracle
@@ -529,7 +538,7 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
             elif prove:
                 ok_all &= prove_and_verify(
                     shape, vars_, inputs, name, timer, out_dir, zk,
-                    snark, emit_zkif, mesh,
+                    snark, emit_zkif, mesh, wire,
                 )
             else:
                 _stage(
@@ -601,6 +610,14 @@ def main(argv=None):
         "sdpcodegen.py:98 default 1e-2)",
     )
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--wire",
+        choices=["otti", "spartan"],
+        default="otti",
+        help="transcript label schedule: 'otti' (native, device-FS "
+        "provers) or 'spartan' (upstream microsoft/Spartan label "
+        "vocabulary, host zk prover; see docs/PROTOCOL.md)",
+    )
     parser.add_argument(
         "--mesh",
         type=str,
@@ -698,7 +715,7 @@ def main(argv=None):
         ok = run_lp(files, args.out, prove, args.zk, args.resume,
                     snark=args.snark, delta=args.delta,
                     emit_zkif=args.emit_zkif, mesh=args.mesh,
-                    batch=args.batch)
+                    batch=args.batch, wire=args.wire)
     elif args.sdp:
         if args.custom:
             files = [args.custom]
@@ -712,7 +729,7 @@ def main(argv=None):
         ok = run_sdp(files, args.out, prove, args.zk, args.resume,
                      snark=args.snark, epsilon=args.epsilon,
                      emit_zkif=args.emit_zkif, mesh=args.mesh,
-                     batch=args.batch)
+                     batch=args.batch, wire=args.wire)
     elif args.sgd:
         if args.full:
             _stage("Running SGD full Otti dataset")
@@ -726,6 +743,7 @@ def main(argv=None):
                 snark=args.snark,
                 emit_zkif=args.emit_zkif,
                 mesh=args.mesh,
+                wire=args.wire,
             )
             _stage("Running SGD probabilistic Otti dataset")
             ok &= run_sgd(
@@ -739,6 +757,7 @@ def main(argv=None):
                 snark=args.snark,
                 emit_zkif=args.emit_zkif,
                 mesh=args.mesh,
+                wire=args.wire,
             )
         else:
             _stage("Running SGD small Otti dataset")
@@ -752,6 +771,7 @@ def main(argv=None):
                 snark=args.snark,
                 emit_zkif=args.emit_zkif,
                 mesh=args.mesh,
+                wire=args.wire,
             )
     else:
         parser.print_help()

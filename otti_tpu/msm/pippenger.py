@@ -214,6 +214,50 @@ FIXED_BASE_WINDOW = 4
 
 
 @functools.lru_cache(maxsize=None)
+def _comb_build_jit(n_win: int, n_d: int, window: int):
+    """Device comb-table builder: [G] generator points ->
+    {coord: [G * n_win * n_d, L]} with T[j, win, d] = d * 2^(w*win) * G_j.
+
+    lax.scan over windows; the body forms the n_d running multiples (n_d-1
+    batched adds over all generators) and w batched doublings — ~1k
+    batched point-ops total, milliseconds on device.  (The previous
+    host-side build did G*n_win*n_d PURE-PYTHON point additions — ~60 s
+    per process for the 512-generator Hyrax tables, profiled r03.)"""
+
+    def build(pts):
+        ident = E.match_vma(E.identity((pts["x"].shape[0],)), pts)
+
+        def body(cur, _):
+            # running multiples 0..n_d-1 of cur via an inner scan (ONE add
+            # callsite: the unrolled variant compiled for minutes per
+            # generator-count shape through the tunnel)
+            def mult_body(acc, _):
+                nxt = E.add(acc, cur)
+                return nxt, acc
+
+            _, mults = jax.lax.scan(
+                mult_body, ident, None, length=n_d
+            )  # [n_d, G, L]
+
+            def dbl_body(_i, p):
+                return E.double(p)
+
+            cur_next = jax.lax.fori_loop(0, window, dbl_body, cur)
+            return cur_next, mults
+
+        _, wins = jax.lax.scan(body, pts, None, length=n_win)
+        # [n_win, n_d, G, L] -> [G, n_win, n_d, L] -> [G*n_win*n_d, L]
+        return jax.tree.map(
+            lambda a: jnp.transpose(a, (2, 0, 1, 3)).reshape(
+                -1, a.shape[-1]
+            ),
+            wins,
+        )
+
+    return jax.jit(build)
+
+
+@functools.lru_cache(maxsize=None)
 def fixed_base_tables(
     n_gens: int,
     label: bytes,
@@ -222,43 +266,54 @@ def fixed_base_tables(
 ):
     """Comb tables for FIXED generators: T[j, win, d] = d * 2^(w*win) * G_j.
 
-    With the tables precomputed (host, native curve ops, cached), a
+    With the tables precomputed (ON DEVICE, cached per process), a
     commitment needs NO doublings — just one gather per (gen, window)
     digit and a balanced tree of batched adds.  ~w x fewer point ops than
     bit-serial and perfectly batched; the classic fixed-base comb method,
     laid out for TPU gathers.
     """
+    import hashlib
+    import os
+
     import numpy as np
 
-    from ..field.fields import ints_to_limbs
-    from ..refimpl import numeric as ref
     from ..spartan.commitments import gen_points_host
+
+    n_win = -(-SCALAR_BITS // window)
+    n_d = 1 << window
+
+    # the tables are deterministic pure data: persist them as npz so the
+    # (compile-heavy through the tunnel) device build runs once per VM,
+    # not once per process — loading arrays beats loading executables
+    cache_dir = os.environ.get(
+        "OTTI_JAX_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+    )
+    key = hashlib.sha256(
+        b"combtbl-v1|%d|%d|%d|%s" % (n_gens, window, with_blind, label)
+    ).hexdigest()[:24]
+    path = os.path.join(cache_dir, f"combtbl-{key}.npz")
+    try:
+        with np.load(path) as f:
+            tbl = {k: jnp.asarray(f[k]) for k in ("x", "y", "z", "t")}
+        return tbl, n_win, n_d
+    except Exception:
+        pass
 
     gens, h = gen_points_host(n_gens, label)
     gens = list(gens) + ([h] if with_blind else [])
-    n_gens = len(gens)
-    n_win = -(-SCALAR_BITS // window)
-    n_d = 1 << window
-    coords = np.zeros((n_gens * n_win * n_d, 4), dtype=object)
-    idx = 0
-    for j in range(n_gens):
-        base = gens[j]
-        for win in range(n_win):
-            acc = ref.EdPoint.identity()
-            for d in range(n_d):
-                p = acc
-                coords[idx] = (p.X, p.Y, p.Z, p.T)
-                acc = acc + base
-                idx += 1
-            base = base * (1 << window)  # shift for next window
-    tbl = {}
-    # tables are lru-cached across calls, so they must be concrete arrays
-    # even if first requested inside a jit trace
     with jax.ensure_compile_time_eval():
-        for c, name in enumerate(("x", "y", "z", "t")):
-            tbl[name] = jnp.asarray(
-                ints_to_limbs([int(v) for v in coords[:, c]])
-            )
+        pts = E.stack([E.from_ref(p) for p in gens])
+        tbl = _comb_build_jit(n_win, n_d, window)(pts)
+        tbl = jax.tree.map(lambda a: a.block_until_ready(), tbl)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **{k: np.asarray(v) for k, v in tbl.items()})
+        os.replace(tmp, path)
+    except Exception:
+        pass
     return tbl, n_win, n_d
 
 

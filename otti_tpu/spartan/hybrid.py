@@ -55,6 +55,16 @@ from .nizk import GENS_LABEL, _hyrax_dims, _sb
 MOD = SCALAR.modulus
 
 
+def _sync_point(name, x):
+    """Block on a stage's outputs, attributing its device time to a
+    metric (enabled by OTTI_SYNC_METRICS=1; costs pipeline overlap)."""
+    from .. import metrics
+
+    with metrics.timed(name):
+        jax.block_until_ready(x)
+    return x
+
+
 def _check_handoff(strobe):
     """The phase kernels resume the sponge at the static post-challenge
     offsets; assert the host transcript is exactly there."""
@@ -455,6 +465,11 @@ def prove_zk(
     tau = t.challenge_vector(b"challenge_tau", mu_x)
 
     # ---- enqueue the full device chain (no host syncs) ---------------------
+    # OTTI_SYNC_METRICS=1 blocks after every stage so the per-stage
+    # metrics attribute device time to the kernel that spent it
+    sync = _sync_point if os.environ.get("OTTI_SYNC_METRICS") else (
+        lambda name, x: x
+    )
     with metrics.timed("device_chain"):
         state = _check_handoff(t.strobe)
         z = r1cs.assemble_z(
@@ -464,39 +479,54 @@ def prove_zk(
         )
         tau_dev = nizk._dev_vec(tau)
         eq_tau = mle.eq_table(tau_dev)
-        az, bz, cz = dev.matvecs(z)
+        az, bz, cz = sync("matvecs", dev.matvecs(z))
         from .zkfused import _mid_tables, _round_tables
 
         (
             state_mid, sc1_encs, sc1_z, sc1_zdb, rxs, mid_encs, mid_z,
             rabc, claim2, bclaim2,
-        ) = _zk_phase1_kernel(dev.num_cons)(
-            state, tau_dev, eq_tau, az, bz, cz,
-            sc1_blinds, _devs(abc), _devs(prod),
-            jnp.asarray(ints_to_limbs([eq1_a]))[0],
-            _round_tables(3), _mid_tables(),
+        ) = sync(
+            "zk_phase1",
+            _zk_phase1_kernel(dev.num_cons)(
+                state, tau_dev, eq_tau, az, bz, cz,
+                sc1_blinds, _devs(abc), _devs(prod),
+                jnp.asarray(ints_to_limbs([eq1_a]))[0],
+                _round_tables(3), _mid_tables(),
+            ),
         )
         e_rx = mle.eq_table(rxs)
-        m_table = dev.matvec_T_weighted((rabc[0], rabc[1], rabc[2]), e_rx)
-        state2, sc2_encs, sc2_z, sc2_zdb, rys, e2, be2 = _zk_phase2_kernel(
-            dev.num_z
-        )(state_mid, m_table, z, claim2, bclaim2, sc2_blinds, _round_tables(2))
+        m_table = sync(
+            "m_table",
+            dev.matvec_T_weighted((rabc[0], rabc[1], rabc[2]), e_rx),
+        )
+        state2, sc2_encs, sc2_z, sc2_zdb, rys, e2, be2 = sync(
+            "zk_phase2",
+            _zk_phase2_kernel(dev.num_z)(
+                state_mid, m_table, z, claim2, bclaim2, sc2_blinds,
+                _round_tables(2),
+            ),
+        )
         e_ry = mle.eq_table(rys)
-        eabc = jnp.stack(dev.eval_at(e_rx, e_ry))
-        u, buwv = _zk_opening_kernel(nvp, mu_rows, mu_cols)(
-            z, _devs(row_blinds), rys, eabc, rabc
+        eabc = sync("eval_at", jnp.stack(dev.eval_at(e_rx, e_ry)))
+        u, buwv = sync(
+            "opening",
+            _zk_opening_kernel(nvp, mu_rows, mu_cols)(
+                z, _devs(row_blinds), rys, eabc, rabc
+            ),
         )
 
         # ---- host sync #2 --------------------------------------------------
-        (
-            state2_np, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
-            sc2_encs, sc2_z, sc2_zdb, u_np, buwv_np, rys_np, e2_np, be2_np,
-        ) = jax.device_get(
+        with metrics.timed("fetch"):
             (
-                state2, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
-                sc2_encs, sc2_z, sc2_zdb, u, buwv, rys, e2, be2,
+                state2_np, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
+                sc2_encs, sc2_z, sc2_zdb, u_np, buwv_np, rys_np, e2_np,
+                be2_np,
+            ) = jax.device_get(
+                (
+                    state2, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
+                    sc2_encs, sc2_z, sc2_zdb, u, buwv, rys, e2, be2,
+                )
             )
-        )
     metrics.add("sumcheck_rounds", mu_x)
 
     with metrics.timed("host_tail"):

@@ -47,7 +47,9 @@ class BlindSource:
     """Deterministic prover randomness: shake256(seed || counter).
 
     One seed per proof (callers pass os.urandom(32) by default); never
-    reused across transcript positions.
+    reused across transcript positions.  Uses hashlib's C SHAKE-256 — a
+    zk proof draws hundreds of blinds and the pure-Python sponge cost
+    ~0.3 s per proof (r03 profile).
     """
 
     def __init__(self, seed: bytes):
@@ -55,9 +57,11 @@ class BlindSource:
         self.ctr = 0
 
     def scalar(self) -> int:
-        out = shake256(self.seed + self.ctr.to_bytes(8, "little"), 64)
+        import hashlib
+
+        h = hashlib.shake_256(self.seed + self.ctr.to_bytes(8, "little"))
         self.ctr += 1
-        return int.from_bytes(out, "little") % L
+        return int.from_bytes(h.digest(64), "little") % L
 
     def scalars(self, n: int) -> list:
         return [self.scalar() for _ in range(n)]

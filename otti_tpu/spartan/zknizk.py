@@ -94,15 +94,22 @@ def prove(
     vars_ints: list,
     inputs_ints: list,
     seed: bytes | None = None,
+    wire=None,
 ) -> ZKNIZKProof:
+    """``wire``: a wire.WireProfile (or name) selecting the transcript
+    label schedule — "otti" (default) or "spartan" (upstream-compatible
+    vocabulary; see spartan/wire.py and docs/PROTOCOL.md)."""
+    from .wire import OTTI, PROFILES
+
+    wire = PROFILES[wire] if isinstance(wire, str) else (wire or OTTI)
     rng = BlindSource(seed or os.urandom(32))
     gens = Gens(_max_gens(dev), GENS_LABEL)
 
-    t = Transcript(PROTO)
-    t.append_message(b"R1CS", dev.digest)
+    t = Transcript(wire.proto)
+    t.append_message(wire.r1cs_digest, dev.digest)
     t.append_u64(b"num_inputs", len(inputs_ints))
     for x in inputs_ints:
-        t.append_scalar(b"input", _sb(x))
+        t.append_scalar(wire.input, _sb(x))
 
     nvp = dev.num_vars
     mu_rows, mu_cols = _hyrax_dims(nvp)
@@ -112,26 +119,31 @@ def prove(
     comm_rows = commitments.commit_rows(W, row_blinds, GENS_LABEL)
     comm_enc = commitments.encode_points(comm_rows)
     for enc in comm_enc:
-        t.append_point(b"poly_commitment", enc)
+        t.append_point(wire.poly_commitment, enc)
 
     # ---- phase 1 (ZK) -----------------------------------------------------
     mu_x = (dev.num_cons - 1).bit_length()
-    tau = t.challenge_vector(b"challenge_tau", mu_x)
+    tau = t.challenge_vector(wire.challenge_tau, mu_x)
     z = r1cs.assemble_z(
         _dev_vec(vars_padded), _dev_vec(inputs_ints) if inputs_ints else None, nvp
     )
     eq_tau = mle.eq_table(_dev_vec(tau))
     az, bz, cz = dev.matvecs(z)
     sc1, rx, (f_eq, vA, vB, vC), e1, be1 = zksumcheck.prove_zk(
-        3, 0, 0, (eq_tau, az, bz, cz), t, b"sc1", gens, rng
+        3, 0, 0, (eq_tau, az, bz, cz), t, b"sc1", gens, rng, wire=wire
     )
 
     # commitments to the matrix evaluations + product + final relation
     bA, bB, bC = rng.scalars(3)
     CA, CB, CC = (commit(v, b, gens) for v, b in ((vA, bA), (vB, bB), (vC, bC)))
-    for lbl, C in ((b"CA", CA), (b"CB", CB), (b"CC", CC)):
+    for lbl, C in ((wire.comm_A, CA), (wire.comm_B, CB), (wire.comm_C, CC)):
         t.append_point(lbl, C.ristretto_encode())
     b_ab = rng.scalar()
+    if wire.name != "otti":
+        # upstream absorbs the product-claim commitment explicitly
+        # (r1csproof.rs comm_prod_Az_Bz_claims) before the product proof
+        C_ab_pre = commit(vA * vB % L, b_ab, gens)
+        t.append_point(wire.comm_AB, C_ab_pre.ristretto_encode())
     proof_ab, _, _, C_ab = sigma.ProductProof.prove(
         t, gens, vA, bA, vB, bB, b_ab, rng
     )
@@ -143,9 +155,9 @@ def prove(
     )
 
     # ---- phase 2 (ZK) -----------------------------------------------------
-    r_a = t.challenge_scalar(b"challenge_Az")
-    r_b = t.challenge_scalar(b"challenge_Bz")
-    r_c = t.challenge_scalar(b"challenge_Cz")
+    r_a = t.challenge_scalar(wire.challenge_Az)
+    r_b = t.challenge_scalar(wire.challenge_Bz)
+    r_c = t.challenge_scalar(wire.challenge_Cz)
     claim2 = (r_a * vA + r_b * vB + r_c * vC) % L
     bclaim2 = (r_a * bA + r_b * bB + r_c * bC) % L
     e_rx = mle.eq_table(_dev_vec(rx))
@@ -153,7 +165,7 @@ def prove(
         (_dev_scalar(r_a), _dev_scalar(r_b), _dev_scalar(r_c)), e_rx
     )
     sc2, ry, (f_m, f_z), e2, be2 = zksumcheck.prove_zk(
-        2, claim2, bclaim2, (m_table, z), t, b"sc2", gens, rng
+        2, claim2, bclaim2, (m_table, z), t, b"sc2", gens, rng, wire=wire
     )
 
     # ---- Hyrax opening (ZK, log-sized) + final relation -------------------
@@ -241,22 +253,27 @@ def _opening_and_final_zk(
     )
 
 
-def verify(dev: r1cs.R1CSDevice, inputs_ints: list, proof: ZKNIZKProof) -> bool:
+def verify(
+    dev: r1cs.R1CSDevice, inputs_ints: list, proof: ZKNIZKProof, wire=None
+) -> bool:
     try:
-        return _verify_inner(dev, inputs_ints, proof)
+        return _verify_inner(dev, inputs_ints, proof, wire)
     except (ValueError, AssertionError):
         return False
 
 
-def _verify_inner(dev, inputs_ints, proof) -> bool:
+def _verify_inner(dev, inputs_ints, proof, wire=None) -> bool:
+    from .wire import OTTI, PROFILES
+
+    wire = PROFILES[wire] if isinstance(wire, str) else (wire or OTTI)
     gens = Gens(_max_gens(dev), GENS_LABEL)
-    t = Transcript(PROTO)
-    t.append_message(b"R1CS", dev.digest)
+    t = Transcript(wire.proto)
+    t.append_message(wire.r1cs_digest, dev.digest)
     t.append_u64(b"num_inputs", len(inputs_ints))
     for x in inputs_ints:
-        t.append_scalar(b"input", _sb(x))
+        t.append_scalar(wire.input, _sb(x))
     for enc in proof.comm_vars:
-        t.append_point(b"poly_commitment", enc)
+        t.append_point(wire.poly_commitment, enc)
 
     nvp = dev.num_vars
     mu_rows, mu_cols = _hyrax_dims(nvp)
@@ -264,16 +281,22 @@ def _verify_inner(dev, inputs_ints, proof) -> bool:
         return False
 
     mu_x = (dev.num_cons - 1).bit_length()
-    tau = t.challenge_vector(b"challenge_tau", mu_x)
+    tau = t.challenge_vector(wire.challenge_tau, mu_x)
 
     # phase 1
     C_zero = commit(0, 0, gens)
-    rx, C_e1 = zksumcheck.verify_zk(3, proof.sc1, C_zero, mu_x, t, b"sc1", gens)
+    rx, C_e1 = zksumcheck.verify_zk(
+        3, proof.sc1, C_zero, mu_x, t, b"sc1", gens, wire=wire
+    )
 
     CA, CB, CC = (decode(b) for b in proof.comm_abc)
-    for lbl, enc in zip((b"CA", b"CB", b"CC"), proof.comm_abc):
+    for lbl, enc in zip(
+        (wire.comm_A, wire.comm_B, wire.comm_C), proof.comm_abc
+    ):
         t.append_point(lbl, enc)
     C_ab = decode(proof.comm_ab)
+    if wire.name != "otti":
+        t.append_point(wire.comm_AB, proof.comm_ab)
     if not proof.proof_ab.verify(t, gens, CA, CB, C_ab):
         return False
     eq_val = _eq_point(tau, rx)
@@ -281,12 +304,14 @@ def _verify_inner(dev, inputs_ints, proof) -> bool:
     if not proof.eq1.verify(t, gens, C_e1, C_rhs):
         return False
 
-    r_a = t.challenge_scalar(b"challenge_Az")
-    r_b = t.challenge_scalar(b"challenge_Bz")
-    r_c = t.challenge_scalar(b"challenge_Cz")
+    r_a = t.challenge_scalar(wire.challenge_Az)
+    r_b = t.challenge_scalar(wire.challenge_Bz)
+    r_c = t.challenge_scalar(wire.challenge_Cz)
     C_claim2 = CA * r_a + CB * r_b + CC * r_c
     mu_y = (dev.num_z - 1).bit_length()
-    ry, C_e2 = zksumcheck.verify_zk(2, proof.sc2, C_claim2, mu_y, t, b"sc2", gens)
+    ry, C_e2 = zksumcheck.verify_zk(
+        2, proof.sc2, C_claim2, mu_y, t, b"sc2", gens, wire=wire
+    )
 
     # Hyrax opening (log-sized): dual-base tie + bullet argument
     from ..native import msm_host

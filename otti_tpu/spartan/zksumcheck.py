@@ -79,6 +79,7 @@ def prove_zk(
     label: bytes,
     gens: Gens,
     rng: BlindSource,
+    wire=None,
 ):
     """tables: (eq, pa, pb, pc) for degree 3 or (pm, pz) for degree 2.
 
@@ -93,6 +94,9 @@ def prove_zk(
         kernel = sumcheck._round_quad_kernel(n)
         step = sumcheck._step_quad_kernel(n)
         binder = sumcheck._bind_kernel(n, 2)
+    from .wire import OTTI
+
+    wire = wire or OTTI
     gens_d = gens.sub(degree + 1)
     gens_1 = gens.sub(1)
 
@@ -112,19 +116,22 @@ def prove_zk(
         coeffs = _coeffs_from_evals(evals)
         b_poly = rng.scalar()
         C_poly = commit_vec(coeffs, b_poly, gens_d)
-        transcript.append_point(label + b"/comm_poly", C_poly.ristretto_encode())
+        transcript.append_point(
+            wire.rl(label, wire.sc_comm_poly), C_poly.ristretto_encode()
+        )
         comm_polys.append(C_poly.ristretto_encode())
-        r = transcript.challenge_scalar(label + b"/r")
+        r = transcript.challenge_scalar(wire.rl(label, wire.sc_challenge))
         rs.append(r)
 
         e_next = _poly_eval(coeffs, r)
         b_next = rng.scalar()
         C_next = commit(e_next, b_next, gens_1)
-        transcript.append_point(label + b"/comm_eval", C_next.ristretto_encode())
+        transcript.append_point(
+            wire.rl(label, wire.sc_comm_eval), C_next.ristretto_encode()
+        )
         comm_evals.append(C_next.ristretto_encode())
 
-        w0 = transcript.challenge_scalar(label + b"/w0")
-        w1 = transcript.challenge_scalar(label + b"/w1")
+        w0, w1 = wire.draw_weights(transcript, label)
         # weight vector: w0*(2,1,..,1) + w1*(1, r, r^2, ...)
         a = [
             (w0 * (2 if k == 0 else 1) + w1 * pow(r, k, L)) % L
@@ -160,8 +167,12 @@ def verify_zk(
     transcript: Transcript,
     label: bytes,
     gens: Gens,
+    wire=None,
 ):
     """Returns (rs, C_final) or raises ValueError."""
+    from .wire import OTTI
+
+    wire = wire or OTTI
     if len(proof.comm_polys) != n_rounds or len(proof.dot_proofs) != n_rounds:
         raise ValueError("zk-sumcheck: wrong round count")
     gens_d = gens.sub(degree + 1)
@@ -169,13 +180,16 @@ def verify_zk(
     rs = []
     for j in range(n_rounds):
         C_poly = decode(proof.comm_polys[j])
-        transcript.append_point(label + b"/comm_poly", proof.comm_polys[j])
-        r = transcript.challenge_scalar(label + b"/r")
+        transcript.append_point(
+            wire.rl(label, wire.sc_comm_poly), proof.comm_polys[j]
+        )
+        r = transcript.challenge_scalar(wire.rl(label, wire.sc_challenge))
         rs.append(r)
         C_next = decode(proof.comm_evals[j])
-        transcript.append_point(label + b"/comm_eval", proof.comm_evals[j])
-        w0 = transcript.challenge_scalar(label + b"/w0")
-        w1 = transcript.challenge_scalar(label + b"/w1")
+        transcript.append_point(
+            wire.rl(label, wire.sc_comm_eval), proof.comm_evals[j]
+        )
+        w0, w1 = wire.draw_weights(transcript, label)
         a = [
             (w0 * (2 if k == 0 else 1) + w1 * pow(r, k, L)) % L
             for k in range(degree + 1)

@@ -45,13 +45,36 @@ import pytest  # noqa: E402
 MULTIDEVICE_MODULES = {"test_fused_sharded", "test_parallel"}
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: compile-heavy test (minutes of cold XLA time); skipped in "
+        "full-suite runs so a cold one-shot `pytest tests/` fits the "
+        "documented budget — run the file directly (or set OTTI_HEAVY=1) "
+        "to include them",
+    )
+
+
 def pytest_collection_modifyitems(config, items):
-    if os.environ.get("OTTI_ISOLATED_CHILD"):
-        return
     mods = {
         os.path.basename(item.nodeid.split("::")[0]).replace(".py", "")
         for item in items
     }
+    # heavy tests: included in targeted single-file runs and when
+    # OTTI_HEAVY=1; skipped in full-suite (or OTTI_SKIP_HEAVY=1) runs so
+    # the cold-cache suite stays within budget (VERDICT r02 next #9)
+    if not os.environ.get("OTTI_HEAVY") and (
+        len(mods) > 1 or os.environ.get("OTTI_SKIP_HEAVY")
+    ):
+        skip_heavy = pytest.mark.skip(
+            reason="compile-heavy; run the file directly or OTTI_HEAVY=1"
+        )
+        for item in items:
+            if "heavy" in item.keywords:
+                item.add_marker(skip_heavy)
+
+    if os.environ.get("OTTI_ISOLATED_CHILD"):
+        return
     if mods <= MULTIDEVICE_MODULES:
         # targeted run of only multi-device files: keep inline (a full-
         # suite run skips them here and re-runs them isolated; ADVICE r02:

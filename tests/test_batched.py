@@ -1,5 +1,6 @@
 """Batched proving: proofs must match single-instance prover outputs."""
 
+import pytest
 from otti_tpu.spartan import batched, nizk
 from tests.test_nizk import random_instance
 
@@ -34,6 +35,7 @@ def test_batched_cross_instance_isolation():
     assert not nizk.verify(devs[1], insts[1][2], proofs[0])
 
 
+@pytest.mark.heavy
 def test_batched_zk_matches_single():
     """Batched ZERO-KNOWLEDGE proving: byte-identical to zknizk.prove with
     the same seed per instance (VERDICT r02 next #5)."""

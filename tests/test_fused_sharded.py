@@ -53,7 +53,9 @@ def test_sharded_matches_single_chip(k, n_cons, n_vars, n_inputs):
     assert nizk.verify(dev, inputs, pk)
 
 
-@pytest.mark.parametrize("k", [2, 8])
+@pytest.mark.parametrize(
+    "k", [pytest.param(2, marks=pytest.mark.heavy), 8]
+)
 def test_zk_sharded_matches_zknizk(k):
     """Sharded ZK prover: byte-identical to zknizk.prove with the same
     blind seed (VERDICT r02 next #4 — multi-chip for the DEFAULT mode)."""

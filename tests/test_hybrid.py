@@ -7,6 +7,7 @@ share a size class share compilations.  The wire format must stay
 byte-identical to the classic provers.
 """
 
+import pytest
 import dataclasses
 
 from otti_tpu.spartan import hybrid, nizk, zknizk
@@ -37,6 +38,7 @@ def test_hybrid_zk_matches_zknizk_toy():
     assert zknizk.verify(dev, ios, p_hybrid)
 
 
+@pytest.mark.heavy
 def test_hybrid_zk_multirow_hyrax():
     shape, zvars, inputs = random_instance(12, 11, 2, seed=4321)
     dev = shape.to_device()

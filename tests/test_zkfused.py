@@ -1,5 +1,6 @@
 """Fused (single-dispatch) ZK prover: byte-equality vs zknizk + e2e."""
 
+import pytest
 import dataclasses
 
 from otti_tpu.spartan import zkfused, zknizk
@@ -32,6 +33,7 @@ def test_zkfused_matches_zknizk_toy():
     assert zknizk.verify(dev, ios, p_fused)
 
 
+@pytest.mark.heavy
 def test_zkfused_multirow_hyrax():
     shape, zvars, inputs = random_instance(12, 11, 2, seed=1234)
     dev = shape.to_device()

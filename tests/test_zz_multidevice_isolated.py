@@ -27,6 +27,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 def test_multidevice_module_isolated(module):
     env = dict(os.environ)
     env["OTTI_ISOLATED_CHILD"] = "1"
+    env.setdefault("OTTI_SKIP_HEAVY", "1")  # keep the isolated reruns lean
     env.setdefault("JAX_PLATFORMS", "cpu")
     r = subprocess.run(
         [
