@@ -29,6 +29,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _sync(x):
+    """Force REAL completion: on the axon backend block_until_ready
+    returns at enqueue-acknowledgement (measured r03: chained work 64x
+    apart timed identically), so honest timing must pull bytes back."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    jax.device_get(leaf.reshape(-1)[:1])
+
+
 def _emit(metric, value, unit, vs=None):
     line = {"metric": metric, "value": value, "unit": unit}
     if vs is not None:
@@ -66,18 +76,18 @@ def bench_field_mul(n=1 << 16, chain=64, iters=3, target_s=1.5):
     # calibration pass: estimate per-mul device time, then rescale the
     # chain so one timed dispatch runs ~target_s of pure device work
     fn = make(chain)
-    fn(a, b).block_until_ready()  # compile + warm
+    _sync(fn(a, b))  # compile + warm
     t0 = time.time()
-    fn(a, b).block_until_ready()
+    _sync(fn(a, b))
     dt = max(time.time() - t0, 1e-6)
     est_rate = n * chain / dt
     chain2 = int(min(1 << 15, max(chain, est_rate * target_s / n)))
     fn = make(chain2)
-    fn(a, b).block_until_ready()
+    _sync(fn(a, b))
     t0 = time.time()
     for _ in range(iters):
         out = fn(a, b)
-    out.block_until_ready()
+    _sync(out)
     dt = time.time() - t0
     rate = n * chain2 * iters / dt
     _emit("field_mul_per_s", round(rate), f"mul/s (batch={n} chain={chain2})")
@@ -105,13 +115,11 @@ def bench_msm(n=1 << 13, iters=3):
     ks = jnp.asarray(ints_to_limbs([r.randrange(L) for _ in range(n)]))
 
     f = pippenger.msm_jit(n)
-    jax.tree.map(
-        lambda x: x.block_until_ready(), f(pts, ks)
-    )  # compile + warm
+    _sync(f(pts, ks))  # compile + warm
     t0 = time.time()
     for _ in range(iters):
         out = f(pts, ks)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _sync(out)
     dt = time.time() - t0
     rate = n * iters / dt
     _emit("msm_points_per_s", round(rate), f"points/s (n={n})")
@@ -150,11 +158,11 @@ def bench_sumcheck_round(n=1 << 18, rounds=64, iters=3):
         _, evs = jax.lax.scan(body, (eq, pa, pb, pc), None, length=rounds)
         return evs
 
-    chained(r_prev, eq, pa, pb, pc).block_until_ready()  # compile + warm
+    _sync(chained(r_prev, eq, pa, pb, pc))  # compile + warm
     t0 = time.time()
     for _ in range(iters):
         out = chained(r_prev, eq, pa, pb, pc)
-    out.block_until_ready()
+    _sync(out)
     dt = time.time() - t0
     rate = n * rounds * iters / dt
     _emit(
@@ -190,11 +198,11 @@ def bench_scaling(n=1 << 18, iters=3):
             break
         mesh = sharded.make_mesh(k)
         out = sharded.round_cubic_sharded(mesh, eq, pa, pb, pc)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        _sync(out)
         t0 = time.time()
         for _ in range(iters):
             out = sharded.round_cubic_sharded(mesh, eq, pa, pb, pc)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        _sync(out)
         times[k] = (time.time() - t0) / iters
     base = times.get(1)
     for k, t in times.items():

@@ -99,7 +99,12 @@ def _choose_fused(shape) -> bool:
         return False
     if os.environ.get("OTTI_FUSED"):
         return True
-    max_vars = int(os.environ.get("OTTI_FUSED_MAX_VARS", str(1 << 14)))
+    # default crossover 2^12: the hybrid provers now match the fused warm
+    # latency within ~0.2 s while their phase kernels are shared across
+    # every instance of a padded size class — on the tunnel, where each
+    # NEW monolithic core costs ~7 min of compile, auto-fused is only
+    # worth it for the very smallest (bench-pinned) shapes
+    max_vars = int(os.environ.get("OTTI_FUSED_MAX_VARS", str(1 << 12)))
     # the real padded dimension (r1cs.py num_vars_padded) includes the io
     # half; phase-1 compile cost scales with constraints, so both axes
     # gate the crossover

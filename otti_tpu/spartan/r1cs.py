@@ -115,12 +115,20 @@ class R1CSShape:
             # io half (constant-one + inputs) if a larger padding is forced
             return c if c < old_npad else nvp + (c - old_npad)
 
+        # ALL THREE matrices share one padded nnz: the matvec/mtw/eval
+        # kernels retrace per input shape, and a uniform pad collapses the
+        # (nnzA, nnzB, nnzC) triple into one bucket — 15 -> 6 distinct
+        # kernel shapes over the Netlib-LP full suite, each executable
+        # load costing ~10-60 s per process on the tunnel (r03)
+        nnz_uniform = max(
+            _next_pow2(max(len(m), 1)) for m in (self.A, self.B, self.C)
+        )
+
         def pack(mat):
             if not mat:
                 mat = [(0, 0, 0)]
             nnz = len(mat)
-            nnz_pad = _next_pow2(nnz)  # shapes collide across instances ->
-            # the per-instance matvec/eval kernels compile once per size class
+            nnz_pad = nnz_uniform
             rows = np.zeros(nnz_pad, np.int32)
             cols = np.zeros(nnz_pad, np.int32)
             rows[:nnz] = [e[0] for e in mat]
