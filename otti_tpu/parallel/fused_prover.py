@@ -231,7 +231,7 @@ def _core(
     n_rows = 1 << mu_rows
     rows_local = max(n_rows // k, 1)
 
-    def kernel(state, z, row_parts, col_parts):
+    def kernel(state, z, tbl_commit, row_parts, col_parts):
         s = jax.lax.axis_index("sp")
 
         # ---- commitment: block-sharded Hyrax rows ---------------------------
@@ -239,12 +239,14 @@ def _core(
         if n_rows >= k:
             W_loc = jax.lax.dynamic_slice_in_dim(W, s * rows_local, rows_local, 0)
             comm = commitments.commit_rows(
-                W_loc, [0] * rows_local, nizk.GENS_LABEL
+                W_loc, [0] * rows_local, nizk.GENS_LABEL, tbl=tbl_commit
             )
             enc_loc = ristretto.encode(comm)  # [rows_local, 32]
             enc = jax.lax.all_gather(enc_loc, "sp", tiled=True)  # [n_rows, 32]
         else:
-            comm = commitments.commit_rows(W, [0] * n_rows, nizk.GENS_LABEL)
+            comm = commitments.commit_rows(
+                W, [0] * n_rows, nizk.GENS_LABEL, tbl=tbl_commit
+            )
             enc = ristretto.encode(comm)
 
         t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
@@ -321,7 +323,7 @@ def _core(
     fn = jax.shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(), P(None, None), (part_spec,) * 3, (part_spec,) * 3),
+        in_specs=(P(), P(None, None), P(), (part_spec,) * 3, (part_spec,) * 3),
         out_specs=(P(), P(None, None, None), P(None, None), P(None, None, None), P(None, None), P(None)),
         check_vma=False,
     )
@@ -363,8 +365,13 @@ def prove(
         k,
         tuple(range(k)),
     )
+    from ..msm import pippenger as _pip
+
+    tbl_commit = _pip.fixed_base_tables(
+        1 << mu_cols, nizk.GENS_LABEL, _pip.FIXED_BASE_WINDOW, False
+    )[0]
     with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
-        out = core(jnp.asarray(st_np), z, row_parts, col_parts)
+        out = core(jnp.asarray(st_np), z, tbl_commit, row_parts, col_parts)
         enc_np, r1_np, vabc_np, r2_np, u_np, cw_np = jax.device_get(out)
 
     # ---- host transcript replay / proof assembly (shared with fused) -------

@@ -59,16 +59,25 @@ def commit_vector(scalars_limbs: jax.Array, blind_int: int, n: int, label: bytes
 
 @functools.lru_cache(maxsize=None)
 def _commit_rows_jit(with_blinds: bool):
-    """Comb tables are jit ARGUMENTS (not closed-over constants), so one
-    compiled executable serves every generator count with the same
-    (blk, cols) shape and the program carries no multi-MB constants."""
+    """ALL row chunks in ONE dispatch: lax.map over the chunk axis keeps
+    the per-iteration gather footprint bounded (one chunk) while the 37
+    separate per-chunk dispatches of the old Python loop cost ~2.7 s of
+    enqueue overhead per 2^17-point commitment (r03; a single big chunk
+    OOMed the 16 GB HBM at compile time).  Comb tables are jit ARGUMENTS
+    (not closed-over constants), so one compiled executable serves every
+    generator count with the same shapes and carries no multi-MB
+    constants."""
 
-    def impl(tbl, m, n_gens):
-        return pippenger.msm_fixed_base(
-            n_gens, b"", m, with_blind=with_blinds, tbl=tbl
+    def impl(tbl, chunks, n_gens, window):
+        return jax.lax.map(
+            lambda m: pippenger.msm_fixed_base(
+                n_gens, b"", m, window=window, with_blind=with_blinds,
+                tbl=tbl,
+            ),
+            chunks,
         )
 
-    return jax.jit(impl, static_argnums=(2,))
+    return jax.jit(impl, static_argnums=(2, 3))
 
 
 def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes, tbl=None):
@@ -89,23 +98,30 @@ def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes, tbl=None):
         )
         cols += 1
     if tbl is None:
+        # note (r03): an 8-bit window halves the op count but the 16x
+        # bigger table makes the gather ~8x SLOWER end-to-end — w=4 wins
+        window = pippenger.FIXED_BASE_WINDOW
         tbl, _, _ = pippenger.fixed_base_tables(
-            n_gens, label, pippenger.FIXED_BASE_WINDOW, with_blinds
+            n_gens, label, window, with_blinds
         )
-    n_win = -(-pippenger.SCALAR_BITS // pippenger.FIXED_BASE_WINDOW)
+    else:
+        window = pippenger.FIXED_BASE_WINDOW  # caller-built tables are w=4
+    n_win = -(-pippenger.SCALAR_BITS // window)
     blk = max(1, (1 << 18) // max(1, cols * n_win))
     blk = min(blk, rows)
-    fn = _commit_rows_jit(with_blinds)
-    outs = []
-    for s in range(0, rows, blk):
-        chunk = matrix_limbs[s : s + blk]
-        if chunk.shape[0] < blk:
-            pad = blk - chunk.shape[0]
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-            )
-        outs.append(fn(tbl, chunk, n_gens))
-    full = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    n_chunks = -(-rows // blk)
+    pad = n_chunks * blk - rows
+    if pad:
+        matrix_limbs = jnp.concatenate(
+            [
+                matrix_limbs,
+                jnp.zeros((pad,) + matrix_limbs.shape[1:], matrix_limbs.dtype),
+            ]
+        )
+    chunks = matrix_limbs.reshape(n_chunks, blk, cols, -1)
+    full = _commit_rows_jit(with_blinds)(tbl, chunks, n_gens, window)
+    # [n_chunks, blk, ...] -> [rows, ...]
+    full = jax.tree.map(lambda a: a.reshape(n_chunks * blk, *a.shape[2:]), full)
     return jax.tree.map(lambda a: a[:rows], full)
 
 

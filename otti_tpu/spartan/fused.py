@@ -94,13 +94,16 @@ def _core(
     mu_x = (num_cons - 1).bit_length()
     mu_y = (num_z - 1).bit_length()
 
-    def run(state, z, *flat):
+    def run(state, z, tbl_commit, *flat):
         t = DeviceTranscript(_strobe=DeviceStrobe.from_state(state, *handoff))
 
-        # ---- witness commitment (Hyrax rows, fixed-base MSM) ---------------
+        # ---- witness commitment (Hyrax rows, fixed-base MSM); the comb
+        # tables arrive as an argument — building them mid-trace leaked a
+        # tracer into the lru cache (bench r03 snark_error) and baked
+        # multi-MB constants into the executable ----------------------------
         W = z[:num_vars].reshape(1 << mu_rows, 1 << mu_cols, -1)
         comm = commitments.commit_rows(
-            W, [0] * (1 << mu_rows), nizk.GENS_LABEL
+            W, [0] * (1 << mu_rows), nizk.GENS_LABEL, tbl=tbl_commit
         )
         enc = ristretto.encode(comm)  # [rows, 32] uint8
         for i in range(1 << mu_rows):
@@ -197,8 +200,13 @@ def prove(
     core = _core(
         dev.num_cons, dev.num_z, nvp, mu_rows, mu_cols, (pos, pos_begin, cur_flags)
     )
+    from ..msm import pippenger
+
+    tbl_commit = pippenger.fixed_base_tables(
+        1 << mu_cols, nizk.GENS_LABEL, pippenger.FIXED_BASE_WINDOW, False
+    )[0]
     with metrics.timed("fused_prove"):
-        out = core(jnp.asarray(st_np), z, *dev._flat_mats())
+        out = core(jnp.asarray(st_np), z, tbl_commit, *dev._flat_mats())
         enc_np, r1_np, vabc_np, r2_np, u_np, cw_np = jax.device_get(out)
 
     mu_x = (dev.num_cons - 1).bit_length()

@@ -57,12 +57,46 @@ MOD = SCALAR.modulus
 
 def _sync_point(name, x):
     """Block on a stage's outputs, attributing its device time to a
-    metric (enabled by OTTI_SYNC_METRICS=1; costs pipeline overlap)."""
+    metric (enabled by OTTI_SYNC_METRICS=1; costs pipeline overlap).
+
+    Forces completion by FETCHING one element: on the axon backend
+    block_until_ready returns at enqueue-acknowledgement, not completion
+    (r03 finding), so a real transfer is the only honest barrier."""
     from .. import metrics
 
     with metrics.timed(name):
-        jax.block_until_ready(x)
+        leaf = jax.tree.leaves(x)[0]
+        jax.device_get(leaf.reshape(-1)[:1])
     return x
+
+
+_PACK_I32 = jax.jit(lambda *xs: jnp.concatenate([x.reshape(-1) for x in xs]))
+_PACK_U8 = jax.jit(lambda *xs: jnp.concatenate([x.reshape(-1) for x in xs]))
+
+
+def _fetch_packed(int_arrs: list, u8_arrs: list):
+    """Fetch many device arrays as TWO flat transfers.
+
+    Through the axon tunnel each fetched LEAF costs a ~80 ms round trip
+    regardless of size (r03: a 14-leaf fetch measured 1.13 s for ~300 KB),
+    so the arrays are concatenated on device and split back on host."""
+    packed_i = _PACK_I32(*int_arrs) if int_arrs else None
+    packed_u = _PACK_U8(*u8_arrs) if u8_arrs else None
+    flat_i, flat_u = jax.device_get((packed_i, packed_u))
+
+    def unsplit(flat, arrs):
+        outs = []
+        off = 0
+        for a in arrs:
+            n = int(np.prod(a.shape))
+            outs.append(np.asarray(flat[off : off + n]).reshape(a.shape))
+            off += n
+        return outs
+
+    return (
+        unsplit(flat_i, int_arrs) if int_arrs else [],
+        unsplit(flat_u, u8_arrs) if u8_arrs else [],
+    )
 
 
 def _check_handoff(strobe):
@@ -399,6 +433,122 @@ def _zk_opening_batched(num_vars: int, mu_rows: int, mu_cols: int):
     return jax.jit(jax.vmap(_zk_opening_impl(num_vars, mu_rows, mu_cols)))
 
 
+# ---------------------------------------------------------------------------
+# Segmented ZK phases: the masked fixed-shape round kernels do FULL-size
+# folds every round (mu * n work instead of ~2n — ~100 ms/round at 2^17,
+# r03 profile), so phases run in segments of SEG rounds with a physical
+# table shrink between segments: work drops to ~SEG*n*(1+2^-SEG+...) while
+# the segment kernels stay shared across instances (keyed by table size).
+# ---------------------------------------------------------------------------
+
+_SEG = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _zk_seg_kernel(n: int, degree: int, label: bytes, rounds: int, final: bool):
+    """``rounds`` ZK sumcheck rounds on size-n tables (device FS).
+
+    ``final`` additionally emits the canonical finals the next section
+    needs (vA/vB/vC for the cubic phase, canon(e)/canon(be) for the
+    quadratic one) so no extra kernels touch the tables."""
+    from .zkfused import _zk_round_scan
+
+    @jax.jit
+    def k(state, tables, blinds, tbl, e, be):
+        carry = (state, jnp.int32(n // 2), tuple(tables), e, be)
+        carry, (encs, z, zdb, rs) = jax.lax.scan(
+            _zk_round_scan(label, degree, tbl), carry, blinds, length=rounds
+        )
+        state, _, tables, e, be = carry
+        if final and degree == 3:
+            vabc = jnp.stack(
+                [F.canon(SCALAR, tables[i][0]) for i in (1, 2, 3)]
+            )
+            return state, e, be, encs, z, zdb, rs, vabc
+        if final:
+            return (
+                state,
+                F.canon(SCALAR, e),
+                F.canon(SCALAR, be),
+                encs, z, zdb, rs,
+            )
+        return state, tables, e, be, encs, z, zdb, rs
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _shrink_kernel(n_from: int, n_to: int, k_tables: int):
+    @jax.jit
+    def k(*tables):
+        return tuple(t[:n_to] for t in tables)
+
+    return k
+
+
+def _zk_phase_segmented(state, tables, blinds, tbl, e, be, label, degree):
+    """Chain segment kernels over a whole phase; the round stream is
+    byte-identical to the monolithic phase scan (same blind order).
+
+    Returns (state, e_fin, be_fin, encs, z, zdb, rs[, vabc]) with the
+    finals canonicalized per _zk_seg_kernel(final=True)."""
+    n = tables[0].shape[0]
+    mu = (n - 1).bit_length()
+    offs = 0
+    cur_n = n
+    encs_l, z_l, zdb_l, rs_l = [], [], [], []
+    while True:
+        rounds = min(_SEG, mu - offs)
+        final = offs + rounds >= mu
+        blinds_seg = jax.tree.map(
+            lambda a: a[offs : offs + rounds], blinds
+        )
+        out = _zk_seg_kernel(cur_n, degree, label, rounds, final)(
+            state, tables, blinds_seg, tbl, e, be
+        )
+        if final:
+            state, e, be, encs, z, zdb, rs = out[0], out[1], out[2], out[3], out[4], out[5], out[6]
+            vabc = out[7] if degree == 3 else None
+        else:
+            state, tables, e, be, encs, z, zdb, rs = out
+        encs_l.append(encs)
+        z_l.append(z)
+        zdb_l.append(zdb)
+        rs_l.append(rs)
+        offs += rounds
+        if final:
+            break
+        next_n = max(cur_n >> rounds, 2)
+        if next_n < cur_n:
+            tables = _shrink_kernel(cur_n, next_n, len(tables))(*tables)
+            cur_n = next_n
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+    res = (state, e, be, cat(encs_l), cat(z_l), cat(zdb_l), cat(rs_l))
+    return res + ((vabc,) if degree == 3 else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _zk_mid_kernel(mu_x: int):
+    """Inter-phase sigma section as its own kernel, keyed by mu_x only —
+    shared by every instance with the same phase-1 round count."""
+    from .zkfused import _mid_zk
+
+    @jax.jit
+    def k(
+        state1, tau, rxs, vabc, abc_blinds, prod_blinds, eq1_a, e1, be1,
+        tbl_mid,
+    ):
+        return _mid_zk(
+            state1, tau, rxs, vabc[0], vabc[1], vabc[2], abc_blinds,
+            prod_blinds, eq1_a, e1, be1, tbl_mid,
+        )
+
+    return k
+
+
 def prove_zk(
     dev: r1cs.R1CSDevice,
     vars_ints: list,
@@ -482,16 +632,22 @@ def prove_zk(
         az, bz, cz = sync("matvecs", dev.matvecs(z))
         from .zkfused import _mid_tables, _round_tables
 
+        mu_x = (dev.num_cons - 1).bit_length()
         (
-            state_mid, sc1_encs, sc1_z, sc1_zdb, rxs, mid_encs, mid_z,
-            rabc, claim2, bclaim2,
+            state1, e1, be1, sc1_encs, sc1_z, sc1_zdb, rxs, vabc,
         ) = sync(
             "zk_phase1",
-            _zk_phase1_kernel(dev.num_cons)(
-                state, tau_dev, eq_tau, az, bz, cz,
-                sc1_blinds, _devs(abc), _devs(prod),
-                jnp.asarray(ints_to_limbs([eq1_a]))[0],
-                _round_tables(3), _mid_tables(),
+            _zk_phase_segmented(
+                state, (eq_tau, az, bz, cz), sc1_blinds, _round_tables(3),
+                F.zeros(()), F.zeros(()), b"sc1", 3,
+            ),
+        )
+        state_mid, mid_encs, mid_z, rabc, claim2, bclaim2 = sync(
+            "zk_mid",
+            _zk_mid_kernel(mu_x)(
+                state1, tau_dev, rxs, vabc, _devs(abc), _devs(prod),
+                jnp.asarray(ints_to_limbs([eq1_a]))[0], e1, be1,
+                _mid_tables(),
             ),
         )
         e_rx = mle.eq_table(rxs)
@@ -499,11 +655,11 @@ def prove_zk(
             "m_table",
             dev.matvec_T_weighted((rabc[0], rabc[1], rabc[2]), e_rx),
         )
-        state2, sc2_encs, sc2_z, sc2_zdb, rys, e2, be2 = sync(
+        state2, e2, be2, sc2_encs, sc2_z, sc2_zdb, rys = sync(
             "zk_phase2",
-            _zk_phase2_kernel(dev.num_z)(
-                state_mid, m_table, z, claim2, bclaim2, sc2_blinds,
-                _round_tables(2),
+            _zk_phase_segmented(
+                state_mid, (m_table, z), sc2_blinds, _round_tables(2),
+                claim2, bclaim2, b"sc2", 2,
             ),
         )
         e_ry = mle.eq_table(rys)
@@ -515,18 +671,17 @@ def prove_zk(
             ),
         )
 
-        # ---- host sync #2 --------------------------------------------------
+        # ---- host sync #2: TWO packed transfers ----------------------------
         with metrics.timed("fetch"):
-            (
-                state2_np, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
-                sc2_encs, sc2_z, sc2_zdb, u_np, buwv_np, rys_np, e2_np,
-                be2_np,
-            ) = jax.device_get(
-                (
-                    state2, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
-                    sc2_encs, sc2_z, sc2_zdb, u, buwv, rys, e2, be2,
-                )
+            ints, u8s = _fetch_packed(
+                [sc1_z, sc1_zdb, mid_z, sc2_z, sc2_zdb, u, buwv, rys, e2, be2],
+                [state2, sc1_encs, mid_encs, sc2_encs],
             )
+            (
+                sc1_z, sc1_zdb, mid_z, sc2_z, sc2_zdb, u_np, buwv_np,
+                rys_np, e2_np, be2_np,
+            ) = ints
+            state2_np, sc1_encs, mid_encs, sc2_encs = u8s
     metrics.add("sumcheck_rounds", mu_x)
 
     with metrics.timed("host_tail"):
