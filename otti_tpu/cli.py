@@ -198,11 +198,19 @@ def _mesh_size(mesh, shape) -> int:
     avail = len(jax.devices())
     k = avail if mesh == "auto" else int(mesh)
     k = min(k, avail)
+    req = k
     while k > 1 and (
         shape.num_cons_padded < k or (2 * shape.num_vars_padded) // k < 2
     ):
         k //= 2
-    return max(k, 1)
+    k = max(k, 1)
+    if k != req:
+        # VERDICT r03 weak #8: surface the silent degrade
+        _stage(
+            f"  --mesh: instance too small for {req} devices "
+            f"({shape.num_cons_padded} padded cons); using k={k}"
+        )
+    return k
 
 
 def prove_and_verify(
@@ -239,18 +247,25 @@ def prove_and_verify(
         verify_fn = lambda d, i, p: zknizk.verify(d, i, p, wire=wire)
         prover = zknizk
     elif mesh_k > 1 and not snark:
-        # multi-chip path (--mesh): the sharded single-dispatch provers;
-        # byte-identical wire, ~1 psum of 2-3 scalars per sumcheck round
-        from .parallel import fused_prover
+        # multi-chip path (--mesh): segmented sharded device-FS provers
+        # (parallel/hybrid_sharded.py — per-shape kernels, compile cost in
+        # seconds); OTTI_MESH_MONOLITHIC=1 selects the single-dispatch
+        # provers (parallel/fused_prover.py — one XLA program, minutes of
+        # compile, lowest steady-state dispatch count).  Both emit
+        # byte-identical proofs, ~1 psum of 2-3 scalars per sumcheck round.
         from .spartan import zknizk
 
+        if os.environ.get("OTTI_MESH_MONOLITHIC"):
+            from .parallel import fused_prover as _meshp
+        else:
+            from .parallel import hybrid_sharded as _meshp
         if zk:
-            prove_fn = lambda d, v, i: fused_prover.prove_zk(d, v, i, k=mesh_k)
+            prove_fn = lambda d, v, i: _meshp.prove_zk(d, v, i, k=mesh_k)
             prover = zknizk
         else:
             from .spartan import nizk
 
-            prove_fn = lambda d, v, i: fused_prover.prove(d, v, i, k=mesh_k)
+            prove_fn = lambda d, v, i: _meshp.prove(d, v, i, k=mesh_k)
             prover = nizk
     elif zk:
         from .spartan import hybrid, zkfused, zknizk as prover
@@ -278,6 +293,20 @@ def prove_and_verify(
         f"Proving {name}{' (zk)' if zk else ''}: {shape.num_cons} constraints, "
         f"{shape.num_vars} vars, {shape.num_inputs} inputs"
     )
+    # capture temperature: the first instance of a padded shape class in a
+    # process pays the XLA compile / executable-load cost inside its prove
+    # timing (VERDICT r03 weak #3 — afiro's committed meta mixed a 790 s
+    # cold capture with a 1.2 s steady state).  Tag metas so committed
+    # artifacts are self-describing; suite runs do a warm second pass.
+    mode = (
+        ("zk" if zk else "plain")
+        + (f"-mesh{mesh_k}" if mesh_k > 1 else "")
+        + (f"-wire-{wire}" if wire != "otti" else "")
+        + ("-classic" if classic else "")
+    )
+    cls = (shape.num_cons_padded, shape.num_vars_padded, mode)
+    capture = "warm" if cls in _SHAPE_CLASSES_SEEN else "cold"
+    _SHAPE_CLASSES_SEEN.add(cls)
     from . import metrics
 
     metrics.reset()
@@ -303,6 +332,8 @@ def prove_and_verify(
             json.dump(
                 {
                     "name": name,
+                    "mode": mode,
+                    "capture": capture,
                     "num_cons": shape.num_cons,
                     "num_vars": shape.num_vars,
                     "num_inputs": shape.num_inputs,
@@ -315,6 +346,9 @@ def prove_and_verify(
                 indent=2,
             )
     return ok
+
+
+_SHAPE_CLASSES_SEEN: set = set()
 
 
 def _prove_and_verify_snark(shape, vars_, inputs, name, timer, out_dir=None):
@@ -736,6 +770,15 @@ def main(argv=None):
                      emit_zkif=args.emit_zkif, mesh=args.mesh,
                      batch=args.batch, wire=args.wire)
     elif args.sgd:
+        if args.custom:
+            # reference parity: run.py has no SGD custom path either
+            # (datasets come from the PMLB config lists); error instead of
+            # silently ignoring the flag (VERDICT r03 weak #8)
+            parser.error(
+                "--sgd has no --custom mode (SGD instances come from the "
+                "pmlb-small/full/prob.json config lists, reference "
+                "run.py:197-205); use --lp/--sdp --custom for ad-hoc files"
+            )
         if args.full:
             _stage("Running SGD full Otti dataset")
             ok = run_sgd(
