@@ -27,7 +27,7 @@ _CLASSES = {
         sigma.ProductProof,
         sigma.DotProductProof,
         snark.SNARKProof,
-        spark.SparkMatrixEvalProof,
+        spark.SparkEvalProof,
         spark.SparkSideProof,
     )
 }

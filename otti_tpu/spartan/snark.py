@@ -23,7 +23,7 @@ PROTO = b"otti-tpu Spartan SNARK v1"
 class SNARKProof:
     base: nizk.NIZKProof
     evals_abc: tuple  # claimed (eA, eB, eC) at (rx, ry)
-    spark_proofs: tuple  # per-matrix SparkMatrixEvalProof
+    spark_proof: spark.SparkEvalProof  # combined A/B/C eval proof (r04)
 
     def size_bytes(self) -> int:
         def count(o):
@@ -65,16 +65,8 @@ def prove(
     for lbl, v in ((b"eval_A", ea), (b"eval_B", eb), (b"eval_C", ec)):
         t.append_scalar(lbl, _sb(v))
 
-    sps = []
-    for which, (lbl, v) in enumerate(
-        ((b"sparkA", ea), (b"sparkB", eb), (b"sparkC", ec))
-    ):
-        sps.append(
-            spark.prove_eval(
-                comm.mats[which], comm.mu_x, comm.mu_y, rx, ry, v, t, lbl
-            )
-        )
-    return SNARKProof(base=base, evals_abc=(ea, eb, ec), spark_proofs=tuple(sps))
+    sp = spark.prove_eval(comm, rx, ry, (ea, eb, ec), t, b"spark")
+    return SNARKProof(base=base, evals_abc=(ea, eb, ec), spark_proof=sp)
 
 
 def _replay_transcript(dev, inputs_ints, base) -> Transcript:
@@ -154,13 +146,10 @@ def _verify_inner(dev, comm, inputs_ints, proof) -> bool:
     ea, eb, ec = proof.evals_abc
     for lbl, v in ((b"eval_A", ea), (b"eval_B", eb), (b"eval_C", ec)):
         t.append_scalar(lbl, _sb(v))
-    for which, (lbl, v) in enumerate(
-        ((b"sparkA", ea), (b"sparkB", eb), (b"sparkC", ec))
+    if not spark.verify_eval(
+        comm, rx, ry, (ea, eb, ec), proof.spark_proof, t, b"spark"
     ):
-        if not spark.verify_eval(
-            comm, which, rx, ry, v, proof.spark_proofs[which], t, lbl
-        ):
-            return False
+        return False
 
     io = [1] + list(inputs_ints) + [0] * (nvp - 1 - len(inputs_ints))
     v_io = nizk._mle_eval_host(io, r_w)

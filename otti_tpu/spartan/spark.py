@@ -11,23 +11,35 @@ framework already has, rather than a port of the reference's product
 circuits.  Verification cost is O(log) field work + sqrt openings —
 independent of nnz, which is the whole point of SNARK mode.
 
-Protocol per matrix M (nnz padded to 2^mu_n):
-  preprocessing: Hyrax-commit dense MLEs row_f, col_f, val over the
-    mu_n-cube (row_f/col_f carry the *indices as field elements*).
-  eval proof for v = M~(rx, ry):
+Combined-ABC layout (r04; VERDICT r03 next #4 "batch the SPARK openings"):
+the three matrices live in ONE power-of-2 cube — each matrix's entries
+padded to a common block size n_blk, blocks A|B|C|0 selected by the two
+TOP (MSB-first) variables.  One entry-cube sumcheck proves all three
+claimed evaluations at once through a block-selector table (multilinear:
+sel(X) = sum_b c1_b * eq_b(X_top), evaluated in closed form by the
+verifier), one logup per table side covers all three matrices' lookups
+(multiplicities add across blocks), and ONE RLC-batched Hyrax opening
+per cube replaces the nine of the per-matrix design — the r03 proof-size
+regression (101 KB on afiro) drops to ~1/3.
+
+Protocol over the combined cube (3 * nnz padded to 4 * n_blk = 2^mu_n):
+  preprocessing: Hyrax-commit dense MLEs row_f, col_f, val (single
+    commitment each; row_f/col_f carry the indices as field elements).
+  eval proof for (eA, eB, eC) = (A~, B~, C~)(rx, ry):
     1. advice: E_row[i] = eq_rx[row[i]], E_col[i] = eq_ry[col[i]];
-       multiplicities m_row[a], m_col[a].  Commit.
+       combined multiplicities m_row[a], m_col[a].  Commit.
     2. challenges (gamma, tau) per side; inverse advice
        invR[i] = 1/(tau - row_f[i] - gamma*E_row[i]),
        invT[a] = 1/(tau - id(a)  - gamma*eq_rx[a]).  Commit.
-    3. one combined cubic sumcheck over the entry cube proving
-         sum val*E_row*E_col = v,   both entry-side logup zero-checks,
-         and the entry-side logup sums;
-       one combined cubic sumcheck per table cube (rows / cols) proving
-       the table-side zero-check and sum.  Logup identity:
+    3. one combined degree-4 sumcheck over the entry cube proving
+         sum sel*val*E_row*E_col = c1a*eA + c1b*eB + c1c*eC,
+         both entry-side logup zero-checks, and the entry-side logup
+         sums; one combined cubic sumcheck per table cube (rows / cols)
+       proving the table-side zero-check and sum.  Logup identity:
          sum_i invR[i] == sum_a m[a] * invT[a].
-    4. RLC-batched Hyrax openings of the committed polys at the sumcheck
-       endpoints; the verifier evaluates eq/id MLEs in closed form.
+    4. one RLC-batched Hyrax opening of the 7 entry-cube polys and one
+       2-poly opening per table side; the verifier evaluates eq/id/sel
+       MLEs in closed form.
 """
 
 from __future__ import annotations
@@ -61,18 +73,16 @@ def _ones(n):
 # ---------------------------------------------------------------------------
 
 def _comb_entry(consts, exts):
-    c1, c2, c3, c4, c5 = consts
-    val, er, ec, eqn, invr, gr, invc, gc = exts
+    c2, c3, c4, c5 = consts
+    sel, val, er, ec, eqn, invr, gr, invc, gc = exts
     one = F.ones(SCALAR, val.shape[:-1])
-    t1 = F.mul(SCALAR, F.mul(SCALAR, val, er), ec)
+    t1 = F.mul(SCALAR, F.mul(SCALAR, F.mul(SCALAR, sel, val), er), ec)
     t2 = F.mul(SCALAR, eqn, F.sub(SCALAR, F.mul(SCALAR, invr, gr), one))
     t3 = F.mul(SCALAR, eqn, F.sub(SCALAR, F.mul(SCALAR, invc, gc), one))
-    out = F.mul(SCALAR, t1, c1[None, :])
-    out = F.add(SCALAR, out, F.mul(SCALAR, t2, c2[None, :]))
+    out = F.add(SCALAR, t1, F.mul(SCALAR, t2, c2[None, :]))
     out = F.add(SCALAR, out, F.mul(SCALAR, t3, c3[None, :]))
     out = F.add(SCALAR, out, F.mul(SCALAR, invr, c4[None, :]))
-    out = F.add(SCALAR, out, F.mul(SCALAR, invc, c5[None, :]))
-    return out
+    return F.add(SCALAR, out, F.mul(SCALAR, invc, c5[None, :]))
 
 
 def _comb_table(consts, exts):
@@ -85,75 +95,71 @@ def _comb_table(consts, exts):
     return F.add(SCALAR, out, F.mul(SCALAR, t2, c7[None, :]))
 
 
-sumcheck.register_comb("spark_entry", _comb_entry)
+sumcheck.register_comb("spark_entry4", _comb_entry)
 sumcheck.register_comb("spark_table", _comb_table)
 
 
 # ---------------------------------------------------------------------------
-# commitment (preprocessing)
+# commitment (preprocessing) — one combined cube for A|B|C|0
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
-class SparkMatrix:
-    mu_n: int
+class SparkCommitment:
+    mu_n: int  # log2 of the combined cube (= mu_blk + 2)
     comm_row: list
     comm_col: list
     comm_val: list
-    # prover-retained dense data
+    mu_x: int
+    mu_y: int
+    # prover-retained dense data (combined layout)
     row_idx: np.ndarray
     col_idx: np.ndarray
     row_f: jax.Array
     col_f: jax.Array
     val: jax.Array
 
-
-@dataclasses.dataclass
-class SparkCommitment:
-    mats: tuple  # (SparkMatrix for A, B, C)
-    mu_x: int
-    mu_y: int
-
     def transcript_bytes(self) -> bytes:
         out = b""
-        for m in self.mats:
-            for lst in (m.comm_row, m.comm_col, m.comm_val):
-                for enc in lst:
-                    out += enc
+        for lst in (self.comm_row, self.comm_col, self.comm_val):
+            for enc in lst:
+                out += enc
         return out
 
 
 def commit(dev: r1cs.R1CSDevice) -> SparkCommitment:
-    mats = []
+    """Commit A|B|C in one block-aligned cube: each matrix's entries are
+    padded to n_blk = next_pow2(max nnz); block b = matrix b, block 3
+    zero.  MSB-first variable order => the top two variables select the
+    block, so per-matrix sums are recovered by the multilinear selector
+    sel(X) = sum_b c_b eq_b(X_top) (closed form for the verifier)."""
+    n_blk = _next_pow2(max(dev.mats[w][0].shape[0] for w in range(3)))
+    n_tot = 4 * n_blk
+    row_idx = np.zeros(n_tot, np.int32)
+    col_idx = np.zeros(n_tot, np.int32)
+    val_parts = []
     for which in range(3):
         rows, cols, vals = dev.mats[which]
         nnz = rows.shape[0]
-        n = _next_pow2(nnz)
-        row_idx = np.zeros(n, np.int32)
-        col_idx = np.zeros(n, np.int32)
-        row_idx[:nnz] = np.asarray(rows)
-        col_idx[:nnz] = np.asarray(cols)
-        val = jnp.concatenate(
-            [vals, jnp.zeros((n - nnz, vals.shape[-1]), jnp.int32)]
-        )
-        row_f = _int_vec_to_field(row_idx)
-        col_f = _int_vec_to_field(col_idx)
-        mats.append(
-            SparkMatrix(
-                mu_n=(n - 1).bit_length() if n > 1 else 0,
-                comm_row=hyrax.commit_poly(row_f, GENS),
-                comm_col=hyrax.commit_poly(col_f, GENS),
-                comm_val=hyrax.commit_poly(val, GENS),
-                row_idx=row_idx,
-                col_idx=col_idx,
-                row_f=row_f,
-                col_f=col_f,
-                val=val,
-            )
-        )
+        row_idx[which * n_blk : which * n_blk + nnz] = np.asarray(rows)
+        col_idx[which * n_blk : which * n_blk + nnz] = np.asarray(cols)
+        val_parts.append(vals)
+        val_parts.append(jnp.zeros((n_blk - nnz, vals.shape[-1]), jnp.int32))
+    val_parts.append(jnp.zeros((n_blk, val_parts[0].shape[-1]), jnp.int32))
+    val = jnp.concatenate(val_parts)
+    row_f = _int_vec_to_field(row_idx)
+    col_f = _int_vec_to_field(col_idx)
     return SparkCommitment(
-        mats=tuple(mats),
+        mu_n=(n_tot - 1).bit_length(),
+        comm_row=hyrax.commit_poly(row_f, GENS),
+        comm_col=hyrax.commit_poly(col_f, GENS),
+        comm_val=hyrax.commit_poly(val, GENS),
         mu_x=(dev.num_cons - 1).bit_length(),
         mu_y=(dev.num_z - 1).bit_length(),
+        row_idx=row_idx,
+        col_idx=col_idx,
+        row_f=row_f,
+        col_f=col_f,
+        val=val,
     )
 
 
@@ -172,7 +178,7 @@ def _int_vec_to_field(idx: np.ndarray) -> jax.Array:
 
 @dataclasses.dataclass
 class SparkSideProof:
-    """Logup table side (rows or cols) for one matrix."""
+    """Logup table side (rows or cols), covering all three matrices."""
 
     comm_m: list
     comm_invT: list
@@ -184,7 +190,9 @@ class SparkSideProof:
 
 
 @dataclasses.dataclass
-class SparkMatrixEvalProof:
+class SparkEvalProof:
+    """Combined A/B/C evaluation proof (one entry cube, one side each)."""
+
     comm_E_row: list
     comm_E_col: list
     comm_invR_row: list
@@ -225,27 +233,48 @@ def _id_mle_eval(point: list, mu: int) -> int:
     return acc
 
 
+def _sel_mle_eval(weights: list, point2: list) -> int:
+    """MLE of the block-selector table at the top-two-variable point:
+    sum_b w_b * eq(bits(b), point2)."""
+    acc = 0
+    for b, w in enumerate(weights):
+        hi, lo = (b >> 1) & 1, b & 1
+        e = ((point2[0] if hi else (1 - point2[0])) % MOD) * (
+            (point2[1] if lo else (1 - point2[1])) % MOD
+        ) % MOD
+        acc = (acc + w * e) % MOD
+    return acc
+
+
+def _sel_table(weights: list, n_blk: int) -> jax.Array:
+    """[4*n_blk, L] block-constant selector table."""
+    rows = []
+    for w in weights:
+        limb = _dev_scalar(w % MOD)
+        rows.append(jnp.broadcast_to(limb[None, :], (n_blk, limb.shape[0])))
+    return jnp.concatenate(rows)
+
+
 def _gather_table(table: jax.Array, idx: np.ndarray) -> jax.Array:
     return table[jnp.asarray(idx)]
 
 
 def prove_eval(
-    sm: SparkMatrix,
-    mu_x: int,
-    mu_y: int,
+    comm: SparkCommitment,
     rx: list,
     ry: list,
-    claimed_v: int,
+    claimed: tuple,  # (eA, eB, eC)
     t: Transcript,
     label: bytes,
-) -> SparkMatrixEvalProof:
-    n = 1 << sm.mu_n
+) -> SparkEvalProof:
+    mu_x, mu_y = comm.mu_x, comm.mu_y
+    n_blk = (1 << comm.mu_n) // 4
     eq_rx = mle.eq_table(_dev_vec(rx))
     eq_ry = mle.eq_table(_dev_vec(ry))
-    e_row = _gather_table(eq_rx, sm.row_idx)
-    e_col = _gather_table(eq_ry, sm.col_idx)
-    m_row = _counts_to_field(sm.row_idx, 1 << mu_x)
-    m_col = _counts_to_field(sm.col_idx, 1 << mu_y)
+    e_row = _gather_table(eq_rx, comm.row_idx)
+    e_col = _gather_table(eq_ry, comm.col_idx)
+    m_row = _counts_to_field(comm.row_idx, 1 << mu_x)
+    m_col = _counts_to_field(comm.col_idx, 1 << mu_y)
 
     comm_E_row = hyrax.commit_poly(e_row, GENS)
     comm_E_col = hyrax.commit_poly(e_col, GENS)
@@ -270,8 +299,8 @@ def prove_eval(
         s = F.add(SCALAR, row_f, gm)
         return F.sub(SCALAR, F.const(SCALAR, tau, (row_f.shape[0],)), s)
 
-    g_row = g_entry(sm.row_f, e_row, gam_r, tau_r)
-    g_col = g_entry(sm.col_f, e_col, gam_c, tau_c)
+    g_row = g_entry(comm.row_f, e_row, gam_r, tau_r)
+    g_col = g_entry(comm.col_f, e_col, gam_c, tau_c)
     inv_r_row = _batch_inv_dev(g_row)
     inv_r_col = _batch_inv_dev(g_col)
 
@@ -309,31 +338,38 @@ def prove_eval(
     ):
         t.append_scalar(label + b"/" + lbl, _sb(v))
 
-    # ---- entry-side combined sumcheck ------------------------------------
-    cs = [t.challenge_scalar(label + b"/c%d" % i) for i in range(1, 6)]
-    rho_n = t.challenge_vector(label + b"/rho_n", sm.mu_n)
+    # ---- entry-side combined sumcheck (degree 4: sel*val*E_row*E_col) -----
+    cs = [t.challenge_scalar(label + b"/c%d" % i) for i in range(1, 8)]
+    c1a, c1b, c1c, c2, c3, c4, c5 = cs
+    rho_n = t.challenge_vector(label + b"/rho_n", comm.mu_n)
     eq_n = mle.eq_table(_dev_vec(rho_n))
-    claim_e = (cs[0] * claimed_v + cs[3] * s_R_row + cs[4] * s_R_col) % MOD
-    tables = (sm.val, e_row, e_col, eq_n, inv_r_row, g_row, inv_r_col, g_col)
-    consts = tuple(_dev_scalar(c) for c in cs)
+    eA, eB, eC = claimed
+    claim_e = (
+        c1a * eA + c1b * eB + c1c * eC + c4 * s_R_row + c5 * s_R_col
+    ) % MOD
+    sel = _sel_table([c1a, c1b, c1c, 0], n_blk)
+    tables = (
+        sel, comm.val, e_row, e_col, eq_n, inv_r_row, g_row, inv_r_col, g_col,
+    )
+    consts = tuple(_dev_scalar(c) for c in (c2, c3, c4, c5))
     entry_rounds, rho_star, finals, e_final = sumcheck.prove_custom(
-        claim_e, tables, consts, "spark_entry", 3, t, label + b"/entry"
+        claim_e, tables, consts, "spark_entry4", 4, t, label + b"/entry"
     )
     claims = {
-        "val": finals[0],
-        "e_row": finals[1],
-        "e_col": finals[2],
-        "inv_r_row": finals[4],
-        "inv_r_col": finals[6],
-        "row": hyrax.eval_poly_host(sm.row_f, rho_star),
-        "col": hyrax.eval_poly_host(sm.col_f, rho_star),
+        "val": finals[1],
+        "e_row": finals[2],
+        "e_col": finals[3],
+        "inv_r_row": finals[5],
+        "inv_r_col": finals[7],
+        "row": hyrax.eval_poly_host(comm.row_f, rho_star),
+        "col": hyrax.eval_poly_host(comm.col_f, rho_star),
     }
     order = ["val", "e_row", "e_col", "inv_r_row", "inv_r_col", "row", "col"]
     for k in order:
         t.append_scalar(label + b"/claim_" + k.encode(), _sb(claims[k]))
     d = [t.challenge_scalar(label + b"/d%d" % i) for i in range(len(order))]
     entry_u = hyrax.open_rlc(
-        [sm.val, e_row, e_col, inv_r_row, inv_r_col, sm.row_f, sm.col_f],
+        [comm.val, e_row, e_col, inv_r_row, inv_r_col, comm.row_f, comm.col_f],
         d,
         rho_star,
     )
@@ -379,7 +415,7 @@ def prove_eval(
     side_row = table_side(b"/row", mu_x, m_row, invT_row, comm_m_row, comm_invT_row, s_T_row)
     side_col = table_side(b"/col", mu_y, m_col, invT_col, comm_m_col, comm_invT_col, s_T_col)
 
-    return SparkMatrixEvalProof(
+    return SparkEvalProof(
         comm_E_row=comm_E_row,
         comm_E_col=comm_E_col,
         comm_invR_row=comm_invR_row,
@@ -400,15 +436,13 @@ def _sum_host(x: jax.Array) -> int:
 
 def verify_eval(
     comm: "SparkCommitment",
-    which: int,
     rx: list,
     ry: list,
-    claimed_v: int,
-    proof: SparkMatrixEvalProof,
+    claimed: tuple,
+    proof: SparkEvalProof,
     t: Transcript,
     label: bytes,
 ) -> bool:
-    sm = comm.mats[which]
     mu_x, mu_y = comm.mu_x, comm.mu_y
     for lbl, encs in (
         (b"E_row", proof.comm_E_row),
@@ -442,11 +476,16 @@ def verify_eval(
     if proof.s_R_row != proof.side_row.s_T or proof.s_R_col != proof.side_col.s_T:
         return False
 
-    cs = [t.challenge_scalar(label + b"/c%d" % i) for i in range(1, 6)]
-    rho_n = t.challenge_vector(label + b"/rho_n", sm.mu_n)
-    claim_e = (cs[0] * claimed_v + cs[3] * proof.s_R_row + cs[4] * proof.s_R_col) % MOD
+    cs = [t.challenge_scalar(label + b"/c%d" % i) for i in range(1, 8)]
+    c1a, c1b, c1c, c2, c3, c4, c5 = cs
+    rho_n = t.challenge_vector(label + b"/rho_n", comm.mu_n)
+    eA, eB, eC = claimed
+    claim_e = (
+        c1a * eA + c1b * eB + c1c * eC
+        + c4 * proof.s_R_row + c5 * proof.s_R_col
+    ) % MOD
     e_final, rho_star = sumcheck.verify_custom(
-        claim_e, proof.entry_rounds, 3, t, label + b"/entry"
+        claim_e, proof.entry_rounds, 4, t, label + b"/entry"
     )
     cl = proof.entry_claims
     order = ["val", "e_row", "e_col", "inv_r_row", "inv_r_col", "row", "col"]
@@ -454,8 +493,9 @@ def verify_eval(
         t.append_scalar(label + b"/claim_" + k.encode(), _sb(cl[k]))
     d = [t.challenge_scalar(label + b"/d%d" % i) for i in range(len(order))]
     if not hyrax.verify_rlc(
-        [sm.comm_val, proof.comm_E_row, proof.comm_E_col, proof.comm_invR_row,
-         proof.comm_invR_col, sm.comm_row, sm.comm_col],
+        [comm.comm_val, proof.comm_E_row, proof.comm_E_col,
+         proof.comm_invR_row, proof.comm_invR_col, comm.comm_row,
+         comm.comm_col],
         d,
         rho_star,
         [cl[k] for k in order],
@@ -465,16 +505,17 @@ def verify_eval(
         return False
     for u in proof.entry_opening_u:
         t.append_scalar(label + b"/entry_u", _sb(u))
-    # final entry identity
+    # final entry identity (sel evaluated in closed form on the top vars)
     eq_n_star = _eq_point(rho_n, rho_star)
+    sel_star = _sel_mle_eval([c1a, c1b, c1c, 0], rho_star[:2])
     g_row_star = (tau_r - cl["row"] - gam_r * cl["e_row"]) % MOD
     g_col_star = (tau_c - cl["col"] - gam_c * cl["e_col"]) % MOD
     want = (
-        cs[0] * (cl["val"] * cl["e_row"] % MOD * cl["e_col"]) % MOD
-        + cs[1] * eq_n_star % MOD * ((cl["inv_r_row"] * g_row_star - 1) % MOD)
-        + cs[2] * eq_n_star % MOD * ((cl["inv_r_col"] * g_col_star - 1) % MOD)
-        + cs[3] * cl["inv_r_row"]
-        + cs[4] * cl["inv_r_col"]
+        sel_star * (cl["val"] * cl["e_row"] % MOD * cl["e_col"]) % MOD
+        + c2 * eq_n_star % MOD * ((cl["inv_r_row"] * g_row_star - 1) % MOD)
+        + c3 * eq_n_star % MOD * ((cl["inv_r_col"] * g_col_star - 1) % MOD)
+        + c4 * cl["inv_r_row"]
+        + c5 * cl["inv_r_col"]
     ) % MOD
     if want != e_final:
         return False

@@ -42,7 +42,11 @@ import pytest  # noqa: E402
 # isolation.  In a full-suite run they are skipped here and executed in
 # clean subprocesses by tests/test_zz_multidevice_isolated.py; targeted
 # single-module runs (pytest tests/test_parallel.py) still run inline.
-MULTIDEVICE_MODULES = {"test_fused_sharded", "test_parallel"}
+MULTIDEVICE_MODULES = {
+    "test_fused_sharded",
+    "test_hybrid_sharded",
+    "test_parallel",
+}
 
 
 def pytest_configure(config):

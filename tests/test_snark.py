@@ -30,20 +30,21 @@ def test_snark_random_and_soundness():
     assert not snark.verify(dev, comm, inputs, bad)
     # tampered logup sum fails
     sp0 = dataclasses.replace(
-        proof.spark_proofs[0], s_R_row=(proof.spark_proofs[0].s_R_row + 1) % MOD
+        proof.spark_proof, s_R_row=(proof.spark_proof.s_R_row + 1) % MOD
     )
-    bad2 = dataclasses.replace(
-        proof, spark_proofs=(sp0,) + proof.spark_proofs[1:]
+    assert not snark.verify(
+        dev, comm, inputs, dataclasses.replace(proof, spark_proof=sp0)
     )
-    assert not snark.verify(dev, comm, inputs, bad2)
     # tampered opening fails
-    sp1 = proof.spark_proofs[1]
-    sp1b = dataclasses.replace(
-        sp1, entry_opening_u=[(sp1.entry_opening_u[0] + 1) % MOD]
-        + sp1.entry_opening_u[1:]
+    sp1 = dataclasses.replace(
+        proof.spark_proof,
+        entry_opening_u=[(proof.spark_proof.entry_opening_u[0] + 1) % MOD]
+        + proof.spark_proof.entry_opening_u[1:],
     )
-    bad3 = dataclasses.replace(
-        proof,
-        spark_proofs=(proof.spark_proofs[0], sp1b, proof.spark_proofs[2]),
+    assert not snark.verify(
+        dev, comm, inputs, dataclasses.replace(proof, spark_proof=sp1)
     )
-    assert not snark.verify(dev, comm, inputs, bad3)
+    # tampered per-matrix claim: eB off by one while eA, eC intact (the
+    # block selector must bind each block's sum separately)
+    bad_b = dataclasses.replace(proof, evals_abc=(ea, (eb + 1) % MOD, ec))
+    assert not snark.verify(dev, comm, inputs, bad_b)

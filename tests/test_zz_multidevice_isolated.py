@@ -22,7 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 @pytest.mark.parametrize(
-    "module", ["test_parallel.py", "test_fused_sharded.py"]
+    "module", ["test_parallel.py", "test_hybrid_sharded.py"]
 )
 def test_multidevice_module_isolated(module):
     env = dict(os.environ)
