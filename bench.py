@@ -96,7 +96,12 @@ def main():
         try:
             with contextlib.redirect_stdout(sink):
                 extras["field_mul_per_s"] = round(bench_micro.bench_field_mul())
-                extras["msm_points_per_s"] = round(bench_micro.bench_msm())
+                extras["msm_points_per_s"] = round(
+                    bench_micro.bench_msm(n=1 << 16)
+                )
+                extras["msm_fixed_base_points_per_s"] = round(
+                    bench_micro.bench_msm_fixed_base(n=1 << 16)
+                )
                 extras["sumcheck_points_per_s"] = round(
                     bench_micro.bench_sumcheck_round()
                 )

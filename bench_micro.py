@@ -126,6 +126,50 @@ def bench_msm(n=1 << 13, iters=3):
     return rate
 
 
+def bench_msm_fixed_base(n=1 << 16, iters=3):
+    """Fixed-base comb MSM throughput — the path every production
+    commitment takes (Hyrax row commitments; VERDICT r03 weak #5 asked
+    for the north-star MSM row to track what production actually runs).
+    Measured as scalar-point products per second over the Hyrax row grid
+    of an n-variable witness."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from otti_tpu.field.fields import ints_to_limbs
+    from otti_tpu.msm import pippenger
+    from otti_tpu.spartan.hyrax import hyrax_dims
+    from otti_tpu.spartan.nizk import GENS_LABEL
+
+    r = random.Random(3)
+    L = (1 << 252) + 27742317777372353535851937790883648493
+    mu_rows, mu_cols = hyrax_dims(n)
+    rows, cols = 1 << mu_rows, 1 << mu_cols
+    sc = jnp.asarray(
+        ints_to_limbs([r.randrange(L) for _ in range(n)])
+    ).reshape(rows, cols, -1)
+    tbl = pippenger.fixed_base_tables(
+        cols, GENS_LABEL, pippenger.FIXED_BASE_WINDOW, False
+    )[0]
+    f = jax.jit(
+        lambda s, t: pippenger.msm_fixed_base(cols, GENS_LABEL, s, tbl=t)
+    )
+    _sync(f(sc, tbl))  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(sc, tbl)
+    _sync(out)
+    dt = time.time() - t0
+    rate = n * iters / dt
+    _emit(
+        "msm_fixed_base_points_per_s",
+        round(rate),
+        f"points/s (n={n}, {rows}x{cols} Hyrax grid, w={pippenger.FIXED_BASE_WINDOW})",
+    )
+    return rate
+
+
 def bench_sumcheck_round(n=1 << 18, rounds=64, iters=3):
     """Cubic sumcheck round throughput: ``rounds`` full bind+eval rounds
     (fixed active size n/2 — the first-round cost) CHAINED in one
@@ -241,12 +285,13 @@ def main():
         return
 
     sizes = (
-        dict(fm=1 << 12, msm=1 << 8, sc=1 << 12)
+        dict(fm=1 << 12, msm=1 << 8, fb=1 << 10, sc=1 << 12)
         if args.quick
-        else dict(fm=1 << 16, msm=1 << 13, sc=1 << 18)
+        else dict(fm=1 << 16, msm=1 << 16, fb=1 << 16, sc=1 << 18)
     )
     bench_field_mul(n=sizes["fm"])
     bench_msm(n=sizes["msm"])
+    bench_msm_fixed_base(n=sizes["fb"])
     bench_sumcheck_round(n=sizes["sc"])
 
 

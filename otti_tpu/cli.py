@@ -215,7 +215,7 @@ def _mesh_size(mesh, shape) -> int:
 
 def prove_and_verify(
     shape, vars_, inputs, name: str, timer: Timer, out_dir=None, zk=False,
-    snark=False, emit_zkif=False, mesh=None, wire="otti",
+    snark=False, emit_zkif=False, mesh=None, wire="otti", extra_meta=None,
 ):
     if emit_zkif and out_dir:
         # reference-format artifact triple per instance (run.py:47-49
@@ -334,6 +334,7 @@ def prove_and_verify(
                     "name": name,
                     "mode": mode,
                     "capture": capture,
+                    **(extra_meta or {}),
                     "num_cons": shape.num_cons,
                     "num_vars": shape.num_vars,
                     "num_inputs": shape.num_inputs,
@@ -578,6 +579,13 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
                 ok_all &= prove_and_verify(
                     shape, vars_, inputs, name, timer, out_dir, zk,
                     snark, emit_zkif, mesh, wire,
+                    extra_meta={
+                        # dataset provenance (VERDICT r03 next #6): "pmlb_cache"
+                        # = real embedded benchmark data, "synthetic" = the
+                        # hermetic generator of io/pmlb_local.py
+                        "data_source": data_source,
+                        "data_shape": list(xshape),
+                    },
                 )
             else:
                 _stage(

@@ -135,28 +135,65 @@ def pick_window(n: int) -> int:
     return max(2, min(12, int(math.log2(n)) - 3))
 
 
-def msm(points, scalars: jax.Array, window: int | None = None):
+def msm(
+    points,
+    scalars: jax.Array,
+    window: int | None = None,
+    win_group: int | None = None,
+):
     """sum_i scalars[i] * points[i] (batched device Pippenger).
 
     points: point pytree with leading axis N; scalars: [N, N_LIMBS] limbs.
     Returns a single (unbatched) point.
-    """
+
+    The ~20 windows are processed in vmapped GROUPS (``win_group`` at a
+    time) rather than sequentially: every sort/scan/aggregate step then
+    runs group x n lanes wide, which is what actually fills the VPU — the
+    r03 sequential-window variant measured 13.9k pts/s because each step
+    was only n lanes wide (BENCH_r03 extras; VERDICT r03 weak #5).
+    ``win_group`` trades HBM for width: the sorted point copies are
+    [group, n] per coordinate."""
     n = scalars.shape[0]
     w = window or pick_window(n)
     digits = _digits(scalars, w)  # [n_win, N], MSB window first
     n_win = digits.shape[0]
+    if win_group is None:
+        # cap the gathered-copy working set around ~2^19 point-lanes
+        win_group = max(1, min(8, (1 << 19) // max(n, 1)))
+    win_group = min(win_group, n_win)
+    # pad with zero windows at the MSB end to a multiple of the group
+    # (digit 0 -> bucket 0 -> weight 0 in aggregation -> identity window
+    # sum, and identity MSB windows leave the Horner total untouched)
+    pad = (-n_win) % win_group
+    if pad:
+        digits = jnp.concatenate(
+            [jnp.zeros((pad,) + digits.shape[1:], digits.dtype), digits]
+        )
+    n_groups = digits.shape[0] // win_group
+    dg_stacked = digits.reshape(n_groups, win_group, n)
 
-    def one_window(total, dig):
-        order = jnp.argsort(dig)
-        dig_sorted = dig[order]
-        pts_sorted = jax.tree.map(lambda a: a[order], points)
-        buckets = _segment_scan_bucket_sums(pts_sorted, dig_sorted, w)
-        win_sum = _aggregate_buckets(buckets, w)
+    scan_fn = jax.vmap(_segment_scan_bucket_sums, in_axes=(0, 0, None))
+    agg_fn = jax.vmap(_aggregate_buckets, in_axes=(0, None))
+
+    def one_group(_, dg):
+        order = jnp.argsort(dg, axis=1)
+        dig_sorted = jnp.take_along_axis(dg, order, axis=1)
+        pts_sorted = jax.tree.map(lambda a: a[order], points)  # [G, N, L]
+        buckets = scan_fn(pts_sorted, dig_sorted, w)
+        return None, agg_fn(buckets, w)  # [G] points
+
+    _, wins = jax.lax.scan(one_group, None, dg_stacked)  # [n_groups, G]
+    wins = jax.tree.map(
+        lambda a: a.reshape((n_groups * win_group,) + a.shape[2:]), wins
+    )
+
+    # Horner MSB->LSB over the stacked window sums
+    def horner(total, ws):
         total = jax.lax.fori_loop(0, w, lambda _, t: E.double(t), total)
-        return E.add(total, win_sum), None
+        return E.add(total, ws), None
 
     total, _ = jax.lax.scan(
-        one_window, E.match_vma(E.identity(()), points), digits
+        horner, E.match_vma(E.identity(()), points), wins
     )
     return total
 

@@ -52,7 +52,9 @@ def _deep_eq(a, b):
     return a == b
 
 
-@pytest.mark.parametrize("k", [2, 8])
+@pytest.mark.parametrize(
+    "k", [pytest.param(2, marks=pytest.mark.heavy), 8]
+)
 def test_segmented_sharded_matches_single_chip(k):
     if len(jax.devices()) < k:
         pytest.skip("needs %d devices" % k)

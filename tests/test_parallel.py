@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from otti_tpu import runtime
 from otti_tpu.curve import edwards as E
 from otti_tpu.field import fields, ops as F
 from otti_tpu.field.fields import SCALAR
@@ -15,6 +16,10 @@ from otti_tpu.msm import pippenger
 from otti_tpu.parallel import sharded
 from otti_tpu.refimpl import numeric as ref
 from otti_tpu.spartan import sumcheck
+
+# persist the multi-device executables (safe per the runtime probe) so
+# warm reruns of this module are loads, not recompiles
+runtime.allow_multidevice_cache()
 
 MOD = SCALAR.modulus
 
@@ -30,6 +35,8 @@ def _dev_vec(xs):
     return jnp.asarray(fields.ints_to_limbs([x % MOD for x in xs]))
 
 
+@pytest.mark.heavy  # ~4 min cold XLA:CPU compile; the sharded round math
+# is covered end-to-end by test_hybrid_sharded.py's psum'd prover rounds
 def test_sharded_round_totals_match(mesh):
     r = random.Random(5)
     n = 32
