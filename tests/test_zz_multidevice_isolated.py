@@ -8,44 +8,58 @@ the poisoned runtime state, so isolation must be a fresh interpreter:
 each module below runs as its own ``pytest`` subprocess (conftest skips
 them in the parent when a full-suite run is detected).
 
-The persistent XLA compile cache (.jax_cache) is shared with the child,
-so steady-state cost matches the old inline runs.
+BOTH children launch concurrently (they are the tail of a full-suite run
+and each is single-compile-bound, so overlapping them saves most of the
+shorter child's wall time on a 2-core VM), and their multi-device
+executables persist in the shared .jax_cache after
+runtime.allow_multidevice_cache()'s probe — cold runs compile once per
+VM, warm runs just load.
 """
 
 import os
 import subprocess
 import sys
 
-import pytest
-
 HERE = os.path.dirname(os.path.abspath(__file__))
+MODULES = ["test_parallel.py", "test_hybrid_sharded.py"]
 
 
-@pytest.mark.parametrize(
-    "module", ["test_parallel.py", "test_hybrid_sharded.py"]
-)
-def test_multidevice_module_isolated(module):
+def test_multidevice_modules_isolated():
     env = dict(os.environ)
     env["OTTI_ISOLATED_CHILD"] = "1"
     env.setdefault("OTTI_SKIP_HEAVY", "1")  # keep the isolated reruns lean
     env.setdefault("JAX_PLATFORMS", "cpu")
-    r = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "pytest",
-            os.path.join(HERE, module),
-            "-q",
-            "-p",
-            "no:cacheprovider",
-        ],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=1700,
-    )
-    assert r.returncode == 0, (
-        f"{module} failed in isolated subprocess (rc={r.returncode})\n"
-        f"--- stdout tail ---\n{r.stdout[-4000:]}\n"
-        f"--- stderr tail ---\n{r.stderr[-2000:]}"
-    )
+    procs = {
+        m: subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "pytest",
+                os.path.join(HERE, m),
+                "-q",
+                "-p",
+                "no:cacheprovider",
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for m in MODULES
+    }
+    failures = []
+    for m, p in procs.items():
+        try:
+            out, err = p.communicate(timeout=1700)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            failures.append(f"{m}: TIMEOUT (>1700s)\n{out[-2000:]}")
+            continue
+        if p.returncode != 0:
+            failures.append(
+                f"{m} failed in isolated subprocess (rc={p.returncode})\n"
+                f"--- stdout tail ---\n{out[-4000:]}\n"
+                f"--- stderr tail ---\n{err[-2000:]}"
+            )
+    assert not failures, "\n\n".join(failures)
