@@ -68,44 +68,17 @@ class BatchedR1CS:
             self.mats.append((jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals)))
 
     def matvecs(self, zs: jax.Array) -> tuple:
-        if not hasattr(self, "_mv_jit"):
-
-            def one(rows, cols, vals, z):
-                prods = F.mul(SCALAR, vals, z[cols])
-                acc = jax.ops.segment_sum(prods, rows, num_segments=self.num_cons)
-                return F.reduce_wide(SCALAR, acc)
-
-            self._mv_jit = jax.jit(
-                lambda zs: tuple(
-                    jax.vmap(one, in_axes=(0, 0, 0, 0))(*self.mats[m], zs)
-                    for m in range(3)
-                )
-            )
-        return self._mv_jit(zs)
+        # the stacked COO matrices are jit ARGUMENTS, not closed-over
+        # constants: at suite scale (hinf1-9, ~0.5M nnz x 22 limbs x 9
+        # instances) a baked constant blew the axon remote-compile
+        # payload limit (HTTP 413, r04)
+        flat = [x for m in range(3) for x in self.mats[m]]
+        return _mv_jit(self.num_cons)(zs, *flat)
 
     def matvec_T_weighted(self, weights: jax.Array, e_rx: jax.Array) -> jax.Array:
         """weights: [B, 3, L]; e_rx: [B, n_cons, L] -> [B, num_z, L]."""
-        if not hasattr(self, "_mtw_jit"):
-
-            def one(wts, erx, *mats):
-                acc = None
-                for m in range(3):
-                    rows, cols, vals = mats[3 * m : 3 * m + 3]
-                    prods = F.mul(
-                        SCALAR, F.mul(SCALAR, vals, erx[rows]), wts[m][None, :]
-                    )
-                    part = jax.ops.segment_sum(prods, cols, num_segments=self.num_z)
-                    part = F.reduce_wide(SCALAR, part)
-                    acc = part if acc is None else F.add(SCALAR, acc, part)
-                return acc
-
-            flat_mats = [x for m in range(3) for x in self.mats[m]]
-            self._mtw_jit = jax.jit(
-                lambda w, e: jax.vmap(
-                    one, in_axes=(0, 0) + (0,) * 9
-                )(w, e, *flat_mats)
-            )
-        return self._mtw_jit(weights, e_rx)
+        flat = [x for m in range(3) for x in self.mats[m]]
+        return _mtw_jit(self.num_z)(weights, e_rx, *flat)
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,27 +86,59 @@ def _veq_jit(mu: int):
     return jax.jit(jax.vmap(mle._eq_table_impl))
 
 
+@functools.lru_cache(maxsize=None)
+def _mv_jit(num_cons: int):
+    def one(z, rows, cols, vals):
+        prods = F.mul(SCALAR, vals, z[cols])
+        acc = jax.ops.segment_sum(prods, rows, num_segments=num_cons)
+        return F.reduce_wide(SCALAR, acc)
+
+    def run(zs, *flat):
+        return tuple(
+            jax.vmap(one)(zs, *flat[3 * m : 3 * m + 3]) for m in range(3)
+        )
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _mtw_jit(num_z: int):
+    def one(wts, erx, *mats):
+        acc = None
+        for m in range(3):
+            rows, cols, vals = mats[3 * m : 3 * m + 3]
+            prods = F.mul(
+                SCALAR, F.mul(SCALAR, vals, erx[rows]), wts[m][None, :]
+            )
+            part = jax.ops.segment_sum(prods, cols, num_segments=num_z)
+            part = F.reduce_wide(SCALAR, part)
+            acc = part if acc is None else F.add(SCALAR, acc, part)
+        return acc
+
+    return jax.jit(
+        lambda w, e, *flat: jax.vmap(one, in_axes=(0, 0) + (0,) * 9)(
+            w, e, *flat
+        )
+    )
+
+
+@jax.jit
+def _eval_at_jit(e_rx, e_ry, *flat):
+    def one(erx, ery, *mats):
+        outs = []
+        for m in range(3):
+            rows, cols, vals = mats[3 * m : 3 * m + 3]
+            prods = F.mul(SCALAR, F.mul(SCALAR, vals, erx[rows]), ery[cols])
+            outs.append(F.sum_reduce(SCALAR, prods, axis=0))
+        return jnp.stack(outs)
+
+    return jax.vmap(one, in_axes=(0, 0) + (0,) * 9)(e_rx, e_ry, *flat)
+
+
 def eval_at_batched(batched: "BatchedR1CS", e_rx: jax.Array, e_ry: jax.Array):
     """Batched \tilde A/B/C(rx, ry): [B, 3, L] stacked evals."""
-    if not hasattr(batched, "_eval_jit"):
-
-        def one(erx, ery, *mats):
-            outs = []
-            for m in range(3):
-                rows, cols, vals = mats[3 * m : 3 * m + 3]
-                prods = F.mul(
-                    SCALAR, F.mul(SCALAR, vals, erx[rows]), ery[cols]
-                )
-                outs.append(F.sum_reduce(SCALAR, prods, axis=0))
-            return jnp.stack(outs)
-
-        flat_mats = [x for m in range(3) for x in batched.mats[m]]
-        batched._eval_jit = jax.jit(
-            lambda erx, ery: jax.vmap(one, in_axes=(0, 0) + (0,) * 9)(
-                erx, ery, *flat_mats
-            )
-        )
-    return batched._eval_jit(e_rx, e_ry)
+    flat = [x for m in range(3) for x in batched.mats[m]]
+    return _eval_at_jit(e_rx, e_ry, *flat)
 
 
 def _common_setup(devs, vars_list, inputs_list, proto, blinds_rows=None):
