@@ -300,23 +300,31 @@ def prove_many_zk(
     tau_dev = jnp.stack([_dev_vec(tau) for tau in taus])
     eq_tau = _veq_jit(mu_x)(tau_dev)
     az, bz, cz = batched.matvecs(zs)
+    B_ = zs.shape[0]
+    # segmented batched phases (r04): same round stream as the monolithic
+    # vmapped scans but ~2n instead of mu*n table work per instance
     (
-        st_mid, sc1_encs, sc1_z, sc1_zdb, rxs, mid_encs, mid_z, rabc,
-        claim2, bclaim2,
-    ) = hybrid._zk_phase1_batched(batched.num_cons)(
-        states, tau_dev, eq_tau, az, bz, cz, sc1_b,
+        st1, e1, be1, sc1_encs, sc1_z, sc1_zdb, rxs, vabc,
+    ) = hybrid._zk_phase_segmented_batched(
+        states, (eq_tau, az, bz, cz), sc1_b, zkfused._round_tables(3),
+        F.zeros((B_,)), F.zeros((B_,)), b"sc1", 3,
+    )
+    (
+        st_mid, mid_encs, mid_z, rabc, claim2, bclaim2,
+    ) = hybrid._zk_mid_batched(mu_x)(
+        st1, tau_dev, rxs, vabc,
         jnp.stack([zkfused._devs(a) for a in abcs]),
         jnp.stack([zkfused._devs(pr) for pr in prods]),
         jnp.stack([zkfused._dev(e) for e in eq1_as]),
-        zkfused._round_tables(3), zkfused._mid_tables(),
+        e1, be1, zkfused._mid_tables(),
     )
     e_rx = _veq_jit(mu_x)(rxs)
     m_tables = batched.matvec_T_weighted(rabc, e_rx)
     (
-        st2, sc2_encs, sc2_z, sc2_zdb, rys, e2, be2,
-    ) = hybrid._zk_phase2_batched(batched.num_z)(
-        st_mid, m_tables, zs, claim2, bclaim2, sc2_b,
-        zkfused._round_tables(2),
+        st2, e2, be2, sc2_encs, sc2_z, sc2_zdb, rys,
+    ) = hybrid._zk_phase_segmented_batched(
+        st_mid, (m_tables, zs), sc2_b, zkfused._round_tables(2),
+        claim2, bclaim2, b"sc2", 2,
     )
     mu_y2 = (batched.num_z - 1).bit_length()
     e_ry = _veq_jit(mu_y2)(rys)

@@ -531,6 +531,113 @@ def _zk_phase_segmented(state, tables, blinds, tbl, e, be, label, degree):
 
 
 @functools.lru_cache(maxsize=None)
+def _zk_seg_batched(n: int, degree: int, label: bytes, rounds: int, final: bool):
+    """Batched (vmapped) variant of _zk_seg_kernel: B instances' sponge
+    states/tables/blinds advance together; comb tables shared.  Used by
+    spartan/batched.py — the monolithic vmapped phase kernels did mu*n
+    masked work per instance, which at the hinf class (B=9, 2^17) made a
+    batch take ~12x the sequential segmented prover (r04 measurement)."""
+    from .zkfused import _zk_round_scan
+
+    def one(state, tables, blinds, tbl, e, be):
+        carry = (state, jnp.int32(n // 2), tuple(tables), e, be)
+        carry, (encs, z, zdb, rs) = jax.lax.scan(
+            _zk_round_scan(label, degree, tbl), carry, blinds, length=rounds
+        )
+        state, _, tables, e, be = carry
+        if final and degree == 3:
+            vabc = jnp.stack(
+                [F.canon(SCALAR, tables[i][0]) for i in (1, 2, 3)]
+            )
+            return state, e, be, encs, z, zdb, rs, vabc
+        if final:
+            return (
+                state,
+                F.canon(SCALAR, e),
+                F.canon(SCALAR, be),
+                encs, z, zdb, rs,
+            )
+        return state, tables, e, be, encs, z, zdb, rs
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, 0, 0)))
+
+
+@functools.lru_cache(maxsize=None)
+def _shrink_batched(n_to: int, k_tables: int):
+    @jax.jit
+    def k(*tables):
+        return tuple(t[:, :n_to] for t in tables)
+
+    return k
+
+
+def _zk_phase_segmented_batched(
+    states, tables, blinds, tbl, e, be, label, degree
+):
+    """Batched analogue of _zk_phase_segmented: tables [B, n, L]; blinds
+    leaves [B, mu, ...]; per-instance round streams byte-identical to the
+    monolithic batched scan (same blind order)."""
+    n = tables[0].shape[1]
+    mu = (n - 1).bit_length()
+    offs = 0
+    cur_n = n
+    encs_l, z_l, zdb_l, rs_l = [], [], [], []
+    while True:
+        rounds = min(_SEG, mu - offs)
+        final = offs + rounds >= mu
+        blinds_seg = jax.tree.map(
+            lambda a: a[:, offs : offs + rounds], blinds
+        )
+        out = _zk_seg_batched(cur_n, degree, label, rounds, final)(
+            states, tables, blinds_seg, tbl, e, be
+        )
+        if final:
+            states, e, be, encs, z, zdb, rs = out[:7]
+            vabc = out[7] if degree == 3 else None
+        else:
+            states, tables, e, be, encs, z, zdb, rs = out
+        encs_l.append(encs)
+        z_l.append(z)
+        zdb_l.append(zdb)
+        rs_l.append(rs)
+        offs += rounds
+        if final:
+            break
+        next_n = max(cur_n >> rounds, 2)
+        if next_n < cur_n:
+            tables = _shrink_batched(next_n, len(tables))(*tables)
+            cur_n = next_n
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
+
+    res = (states, e, be, cat(encs_l), cat(z_l), cat(zdb_l), cat(rs_l))
+    return res + ((vabc,) if degree == 3 else ())
+
+
+@functools.lru_cache(maxsize=None)
+def _zk_mid_batched(mu_x: int):
+    """Batched inter-phase sigma section (comb tables shared)."""
+    from .zkfused import _mid_zk
+
+    @jax.jit
+    def k(
+        state1, tau, rxs, vabc, abc_blinds, prod_blinds, eq1_a, e1, be1,
+        tbl_mid,
+    ):
+        def one(s, t, r, v, a, p, q, e, b):
+            return _mid_zk(
+                s, t, r, v[0], v[1], v[2], a, p, q, e, b, tbl_mid
+            )
+
+        return jax.vmap(one)(
+            state1, tau, rxs, vabc, abc_blinds, prod_blinds, eq1_a, e1, be1
+        )
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
 def _zk_mid_kernel(mu_x: int):
     """Inter-phase sigma section as its own kernel, keyed by mu_x only —
     shared by every instance with the same phase-1 round count."""
