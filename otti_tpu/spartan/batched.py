@@ -173,8 +173,11 @@ def _common_setup(devs, vars_list, inputs_list, proto, blinds_rows=None):
         if blinds_rows is not None
         else [0] * (B * rows_per)
     )
-    comm_flat = commitments.commit_rows(W, blinds, GENS_LABEL)
-    comm_enc_flat = commitments.encode_points(comm_flat)
+    from .. import metrics
+
+    with metrics.timed("b_commit"):
+        comm_flat = commitments.commit_rows(W, blinds, GENS_LABEL)
+        comm_enc_flat = commitments.encode_points(comm_flat)
     comm_encs = [
         comm_enc_flat[b * rows_per : (b + 1) * rows_per] for b in range(B)
     ]
@@ -240,6 +243,13 @@ def prove_many(devs: list, vars_list: list, inputs_list: list) -> list:
     ]
 
 
+def _timed_get(tree):
+    from .. import metrics
+
+    with metrics.timed("b_fetch"):
+        return jax.device_get(tree)
+
+
 def prove_many_zk(
     devs: list, vars_list: list, inputs_list: list, seeds: list = None
 ) -> list:
@@ -259,8 +269,11 @@ def prove_many_zk(
     mu_x = (d0.num_cons - 1).bit_length()
     mu_y = (d0.num_z - 1).bit_length()
 
+    from .. import metrics
+
     rngs = [BlindSource(s) for s in seeds]
-    row_blinds = [rng.scalars(1 << mu_rows) for rng in rngs]
+    with metrics.timed("b_blinds"):
+        row_blinds = [rng.scalars(1 << mu_rows) for rng in rngs]
 
     def sc_draws(rng, n_rounds, degree):
         bp, bn, dd, rd, rb = [], [], [], [], []
@@ -279,12 +292,14 @@ def prove_many_zk(
         )
 
     sc1_blinds, abcs, prods, eq1_as, sc2_blinds = [], [], [], [], []
+    _t_draw = metrics.timed("b_blinds2"); _t_draw.__enter__()
     for rng in rngs:
         sc1_blinds.append(sc_draws(rng, mu_x, 3))
         abcs.append(rng.scalars(3) + [rng.scalar()])
         prods.append(rng.scalars(5))
         eq1_as.append(rng.scalar())
         sc2_blinds.append(sc_draws(rng, mu_y, 2))
+    _t_draw.__exit__(None, None, None)
     sc1_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sc1_blinds)
     sc2_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sc2_blinds)
 
@@ -294,57 +309,62 @@ def prove_many_zk(
     ) = _common_setup(
         devs, vars_list, inputs_list, ZK_PROTO, blinds_rows=row_blinds
     )
+    metrics.add("b_setup_done", 1)
     # NOTE: in zk mode the transcripts are not replayed (the device states
     # carry them); they only seeded the absorbs above.
 
+    sync = hybrid._sync_point if _os.environ.get("OTTI_SYNC_METRICS") else (
+        lambda name, x: x
+    )
     tau_dev = jnp.stack([_dev_vec(tau) for tau in taus])
     eq_tau = _veq_jit(mu_x)(tau_dev)
-    az, bz, cz = batched.matvecs(zs)
+    az, bz, cz = sync("b_matvecs", batched.matvecs(zs))
     B_ = zs.shape[0]
     # segmented batched phases (r04): same round stream as the monolithic
     # vmapped scans but ~2n instead of mu*n table work per instance
     (
         st1, e1, be1, sc1_encs, sc1_z, sc1_zdb, rxs, vabc,
-    ) = hybrid._zk_phase_segmented_batched(
+    ) = sync("b_zk_phase1", hybrid._zk_phase_segmented_batched(
         states, (eq_tau, az, bz, cz), sc1_b, zkfused._round_tables(3),
         F.zeros((B_,)), F.zeros((B_,)), b"sc1", 3,
-    )
+    ))
     (
         st_mid, mid_encs, mid_z, rabc, claim2, bclaim2,
-    ) = hybrid._zk_mid_batched(mu_x)(
+    ) = sync("b_zk_mid", hybrid._zk_mid_batched(mu_x)(
         st1, tau_dev, rxs, vabc,
         jnp.stack([zkfused._devs(a) for a in abcs]),
         jnp.stack([zkfused._devs(pr) for pr in prods]),
         jnp.stack([zkfused._dev(e) for e in eq1_as]),
         e1, be1, zkfused._mid_tables(),
-    )
+    ))
     e_rx = _veq_jit(mu_x)(rxs)
-    m_tables = batched.matvec_T_weighted(rabc, e_rx)
+    m_tables = sync("b_m_table", batched.matvec_T_weighted(rabc, e_rx))
     (
         st2, e2, be2, sc2_encs, sc2_z, sc2_zdb, rys,
-    ) = hybrid._zk_phase_segmented_batched(
+    ) = sync("b_zk_phase2", hybrid._zk_phase_segmented_batched(
         st_mid, (m_tables, zs), sc2_b, zkfused._round_tables(2),
         claim2, bclaim2, b"sc2", 2,
-    )
+    ))
     mu_y2 = (batched.num_z - 1).bit_length()
     e_ry = _veq_jit(mu_y2)(rys)
-    eabc = eval_at_batched(batched, e_rx, e_ry)
-    u, buwv = hybrid._zk_opening_batched(nvp, mu_rows, mu_cols)(
+    eabc = sync("b_eval_at", eval_at_batched(batched, e_rx, e_ry))
+    u, buwv = sync("b_opening", hybrid._zk_opening_batched(nvp, mu_rows, mu_cols)(
         zs,
         jnp.stack([zkfused._devs(rb) for rb in row_blinds]),
         rys, eabc, rabc,
-    )
+    ))
 
     (
         st2_np, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
         sc2_encs, sc2_z, sc2_zdb, u_np, buwv_np, rys_np, e2_np, be2_np,
-    ) = jax.device_get(
+    ) = _timed_get(
         (
             st2, sc1_encs, sc1_z, sc1_zdb, mid_encs, mid_z,
             sc2_encs, sc2_z, sc2_zdb, u, buwv, rys, e2, be2,
         )
     )
     proofs = []
+    _t_asm = metrics.timed("b_assemble"); _t_asm.__enter__()
     for b in range(B):
         tail_vals = np.stack(
             [buwv_np[b][0], buwv_np[b][1], buwv_np[b][2], e2_np[b], be2_np[b]]
@@ -357,4 +377,5 @@ def prove_many_zk(
                 rys_np[b],
             )
         )
+    _t_asm.__exit__(None, None, None)
     return proofs
