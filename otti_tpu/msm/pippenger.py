@@ -158,8 +158,11 @@ def msm(
     digits = _digits(scalars, w)  # [n_win, N], MSB window first
     n_win = digits.shape[0]
     if win_group is None:
-        # cap the gathered-copy working set around ~2^19 point-lanes
-        win_group = max(1, min(8, (1 << 19) // max(n, 1)))
+        # cap the per-op gather at ~2^17 point-rows: bigger gathers fall
+        # into the XLA slow-gather regime measured on-chip r04 (the same
+        # cliff as the Hyrax commit chunks — 131k rows/gather fast, 246k+
+        # slow), which cost the 2^16-point bench 4x
+        win_group = max(1, min(8, (1 << 16) // max(n, 1)))
     win_group = min(win_group, n_win)
     # pad with zero windows at the MSB end to a multiple of the group
     # (digit 0 -> bucket 0 -> weight 0 in aggregation -> identity window
