@@ -198,6 +198,13 @@ def _mesh_size(mesh, shape) -> int:
     avail = len(jax.devices())
     k = avail if mesh == "auto" else int(mesh)
     k = min(k, avail)
+    if k > 1 and k & (k - 1):
+        # the cyclic shard layout assumes power-of-two k (bit-indexed
+        # axis math, exact num_cons//k splits) — round a non-power-of-two
+        # request down rather than hand it garbage shard arithmetic
+        k2 = 1 << (k.bit_length() - 1)
+        _stage(f"  --mesh: {k} is not a power of two; using k={k2}")
+        k = k2
     req = k
     while k > 1 and (
         shape.num_cons_padded < k or (2 * shape.num_vars_padded) // k < 2

@@ -222,12 +222,19 @@ def const(spec: FieldSpec, value: int, shape=()) -> jax.Array:
 
 
 def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
-    return _fold_final(spec, carry(a + b, N_LIMBS + 1))
+    # a+b limbs <= 2*(2^12+24) < 2^13+48, non-negative: ONE carry pass
+    # lands every limb in [0, 2^12+1] (residual <= 2), which _fold_final
+    # accepts (it only needs per-limb magnitude < 2^13 for its int32
+    # bounds).  r05: passes 4 -> 1.
+    return _fold_final(spec, carry(a + b, N_LIMBS + 1, passes=1))
 
 
 def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     two_m = jnp.asarray(int_to_limbs(2 * spec.modulus, N_LIMBS), I32)
-    return _fold_final(spec, carry(a + two_m - b, N_LIMBS + 1))
+    # limbs in (-(2^12+24), 3*2^12+24): two signed passes contract the
+    # residual to [-1, 1], limbs to [-1, 2^12+1] — _fold_final tolerates
+    # the possible -1 (signed h0; its own carry renormalizes).
+    return _fold_final(spec, carry(a + two_m - b, N_LIMBS + 1, passes=2))
 
 
 def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
@@ -235,8 +242,13 @@ def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
 
 
 def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    # Semi-form limbs are <= 2^12+24 (see carry docstring), so conv
+    # coefficients are <= 22*(2^12+24)^2 < 2^28.5, non-negative.  Two
+    # carry passes contract them to <= 2^12+24 (pass 1: residual <=
+    # 2^16.5; pass 2: residual <= 24) — the fixpoint the bound above
+    # already assumes.  r05: passes 4 -> 2 (carry was ~35% of mul).
     c = conv(a, b)
-    c = carry(c, CONV_LIMBS + 1)
+    c = carry(c, CONV_LIMBS + 1, passes=2)
     c = _fold_high(spec, c)
     return _fold_final(spec, c)
 

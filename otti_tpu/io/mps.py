@@ -46,6 +46,7 @@ def parse_mps(path: str) -> LPProblem:
     col_entries = {}  # col -> {row: val}
     col_order = []
     rhs = {}
+    ranges = {}  # rowname -> range value (RANGES section)
     bounds = {}  # colname -> [(btype, value)]
 
     with open(path) as f:
@@ -83,7 +84,8 @@ def parse_mps(path: str) -> LPProblem:
                 for i in range(1, len(toks) - 1, 2):
                     rhs[toks[i]] = float(toks[i + 1])
             elif section == "RANGES":
-                raise NotImplementedError("RANGES not used by the Otti suites")
+                for i in range(1, len(toks) - 1, 2):
+                    ranges[toks[i]] = float(toks[i + 1])
             elif section == "BOUNDS":
                 btype = toks[0].upper()
                 col = toks[2]
@@ -104,6 +106,37 @@ def parse_mps(path: str) -> LPProblem:
     for rname, val in rhs.items():
         if rname in row_idx:
             b[row_idx[rname]] = val
+
+    # RANGES: a ranged row imposes lower <= ax <= upper (standard MPS
+    # semantics; the reference reads these via pysmps, lpcodegen.py:163).
+    # Lower each ranged row to its base inequality plus one extra row of
+    # the opposite sense carrying the other bound — downstream (certificate
+    # codegen, oracle) is sense-generic, so no other change is needed.
+    if ranges:
+        senses_by_name = dict(row_senses)
+        for rname, rval in ranges.items():
+            if rname not in row_idx:
+                continue
+            i = row_idx[rname]
+            sense = senses_by_name[rname]
+            bi = b[i]
+            if sense == "L":
+                lo, hi = bi - abs(rval), bi
+            elif sense == "G":
+                lo, hi = bi, bi + abs(rval)
+            else:  # E
+                if rval == 0:
+                    continue
+                lo, hi = (bi, bi + rval) if rval > 0 else (bi + rval, bi)
+                row_senses[rname] = "G"
+                b[i] = lo
+            extra_sense, extra_rhs = ("G", lo) if sense == "L" else ("L", hi)
+            extra_name = rname + "__rng"
+            row_order.append(extra_name)
+            row_senses[extra_name] = extra_sense
+            A = np.concatenate([A, A[i : i + 1]], axis=0)
+            b = np.concatenate([b, [extra_rhs]])
+        n_rows = len(row_order)
 
     bound_idx = {}
     name_to_j = {cn: j for j, cn in enumerate(col_order)}

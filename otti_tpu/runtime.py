@@ -310,9 +310,17 @@ def allow_multidevice_cache() -> bool:
     if os.path.exists(bad_marker):
         return False
 
+    # Probe against a THROWAWAY cache dir (ADVICE r04): if the reload run
+    # crashes, the poisoned entries must not persist in the shared cache
+    # where a later boot's first probe run would reload them and crash.
+    # The serialize/reload path exercised is identical.
+    import shutil
+    import tempfile
+
+    probe_dir = tempfile.mkdtemp(prefix="otti-mdev-probe-")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["_OTTI_PROBE_DIR"] = d
+    env["_OTTI_PROBE_DIR"] = probe_dir
     try:
         runs = [
             subprocess.run(
@@ -326,6 +334,8 @@ def allow_multidevice_cache() -> bool:
         ]
     except (OSError, subprocess.TimeoutExpired):  # pragma: no cover
         return False
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
     good = all(r.returncode == 0 for r in runs)
     marker = ok_marker if good else bad_marker
     try:

@@ -60,3 +60,43 @@ def test_sgd_configs_match_reference():
         for params in cfg.values():
             assert len(params["classes"]) == 2
             assert {"seed", "eta0", "maxiter", "tol"} <= set(params)
+
+
+def test_mps_ranges(tmp_path):
+    """RANGES rows lower to base-inequality + opposite-sense extra row
+    (pysmps parity for --custom MPS files; VERDICT r04 missing #5)."""
+    text = """NAME RNGTEST
+ROWS
+ N  COST
+ L  R1
+ G  R2
+ E  R3
+ E  R4
+COLUMNS
+    X1 COST 1.0 R1 1.0
+    X1 R2 1.0 R3 1.0
+    X1 R4 1.0
+RHS
+    RHS R1 10.0 R2 2.0
+    RHS R3 5.0 R4 7.0
+RANGES
+    RNG R1 4.0 R2 3.0
+    RNG R3 2.0 R4 -3.0
+ENDATA
+"""
+    p = tmp_path / "rng.mps"
+    p.write_text(text)
+    prob = mps.parse_mps(str(p))
+    rows = dict(zip(prob.row_names, zip(prob.row_senses, prob.rhs)))
+    # L row rhs 10 range 4  ->  6 <= x <= 10
+    assert rows["R1"] == ("L", 10.0) and rows["R1__rng"] == ("G", 6.0)
+    # G row rhs 2 range 3   ->  2 <= x <= 5
+    assert rows["R2"] == ("G", 2.0) and rows["R2__rng"] == ("L", 5.0)
+    # E row rhs 5 range 2   ->  5 <= x <= 7
+    assert rows["R3"] == ("G", 5.0) and rows["R3__rng"] == ("L", 7.0)
+    # E row rhs 7 range -3  ->  4 <= x <= 7
+    assert rows["R4"] == ("G", 4.0) and rows["R4__rng"] == ("L", 7.0)
+    # extra rows duplicate the coefficient row
+    i1 = prob.row_names.index("R1")
+    i1r = prob.row_names.index("R1__rng")
+    assert np.array_equal(prob.A[i1], prob.A[i1r])
