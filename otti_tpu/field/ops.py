@@ -194,7 +194,11 @@ def _fold_final(spec: FieldSpec, x: jax.Array) -> jax.Array:
 
 
 def reduce_wide(spec: FieldSpec, x: jax.Array) -> jax.Array:
-    """Reduce a (possibly unnormalized) wide limb vector to semi form."""
+    """Reduce a (possibly unnormalized) wide limb vector to semi form.
+
+    Input width must be <= CONV_LIMBS (43): the carry extends by one limb
+    and the fold matrix covers exactly 23 high rows."""
+    assert x.shape[-1] <= CONV_LIMBS, "reduce_wide: input too wide"
     n = max(x.shape[-1], FOLD_LIMB + 2)
     x = carry(x, n + 1)
     if x.shape[-1] > FOLD_LIMB + 2:
@@ -366,11 +370,12 @@ def sum_reduce(spec: FieldSpec, x: jax.Array, axis: int = 0) -> jax.Array:
 def dot(spec: FieldSpec, a: jax.Array, b: jax.Array, axis: int = 0) -> jax.Array:
     """Inner product sum_i a_i * b_i along ``axis`` (lazy-accumulated).
 
-    The 43 wide coefficients of each limb-product are < 2^29, so 4 terms
-    can be pre-summed in int32 before the (batched) modular reduction; the
-    partial sums are then normalized and folded with ``sum_reduce``.  All
-    steps are vectorized — no per-element Python loops.
+    Large flat inputs take the MXU path (``dot_mxu``: one int8 limb-cross
+    matmul per 2^18 chunk — measured 4.3x the VPU path, r05); everything
+    else uses the VPU conv with 4-term lazy accumulation.
     """
+    if axis == 0 and a.ndim == 2 and b.ndim == 2 and a.shape[0] >= 256:
+        return dot_mxu(spec, a, b)
     c = conv(a, b)
     c = jnp.moveaxis(c, axis, 0)
     n = c.shape[0]
@@ -379,6 +384,210 @@ def dot(spec: FieldSpec, a: jax.Array, b: jax.Array, axis: int = 0) -> jax.Array
         c = jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)], 0)
     partial = reduce_wide(spec, jnp.sum(c.reshape(-1, 4, *c.shape[1:]), axis=1))
     return sum_reduce(spec, partial, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# MXU kernels (r05).  Pairwise elementwise modmul cannot use the MXU (no
+# shared operand -> no matmul contraction; measured negative results in
+# scripts/probe_mxu_field.py), but two load-bearing SHAPES can:
+#   * scalar-shared mul  c[i] = r * d[i]  — the limb convolution against a
+#     FIXED r is a Toeplitz matmul  d6 [N,44] @ T(r6) [44,88]  in int8
+#     (6-bit half-limbs; products <= 65*65, row sums <= 44*65*65 < 2^18 —
+#     exact in the MXU's int32 accumulator).  Measured 2.7x the VPU path.
+#   * inner product  sum_i a[i]*b[i]  — the limb cross-product matrix
+#     M[p,q] = sum_i a6[i,p]*b6[i,q] is ONE [44,N]@[N,44] int8 matmul;
+#     the per-element conv never materializes.  Measured 4.3x.
+# ---------------------------------------------------------------------------
+
+N_HALF = 2 * N_LIMBS  # 44 six-bit half-limbs
+DOT_MXU_CHUNK = 1 << 18  # int32 accumulator bound: chunk * 65 * 65 < 2^31
+
+
+def split6(x: jax.Array) -> jax.Array:
+    """Semi-form limbs [..., 22] -> interleaved 6-bit half-limbs [..., 44]
+    as int8.  Semi limbs are <= 2^12+24, so hi = limb >> 6 <= 65 — still
+    int8.  Exact: limb = lo + 64*hi."""
+    lo = x & 0x3F
+    hi = x >> 6
+    return (
+        jnp.stack([lo, hi], axis=-1)
+        .reshape(x.shape[:-1] + (N_HALF,))
+        .astype(jnp.int8)
+    )
+
+
+def _recombine6(c6: jax.Array) -> jax.Array:
+    """87/88-coeff base-2^6 vector (int32) -> 44-coeff base-2^12 grid."""
+    n = c6.shape[-1]
+    if n % 2:
+        c6 = jnp.concatenate(
+            [c6, jnp.zeros(c6.shape[:-1] + (1,), c6.dtype)], axis=-1
+        )
+    ev = c6[..., 0::2]
+    od = c6[..., 1::2]
+    return ev + (od << 6)
+
+
+def mul_scalar(spec: FieldSpec, d: jax.Array, r: jax.Array) -> jax.Array:
+    """r * d[i] for a SHARED scalar r (semi form) over a batch d [..., 22].
+
+    MXU path: conv against the Toeplitz matrix of r's 6-bit half-limbs.
+    Falls back to plain mul for tiny batches (matmul setup not worth it).
+    """
+    if d.ndim < 2 or d.shape[:-1] == () or d.size // N_LIMBS < 512:
+        return mul(spec, d, jnp.broadcast_to(r, d.shape))
+    r6 = split6(r)  # [44] int8
+    # T[i, k] = r6[k - i] for 0 <= k-i < 44 (constant index matrix)
+    ii = jnp.arange(N_HALF)[:, None]
+    kk = jnp.arange(2 * N_HALF)[None, :]
+    j = kk - ii
+    T = jnp.where(
+        (j >= 0) & (j < N_HALF), r6[jnp.clip(j, 0, N_HALF - 1)], 0
+    ).astype(jnp.int8)
+    d6 = split6(d)
+    batch = d.shape[:-1]
+    wide6 = jax.lax.dot_general(
+        d6.reshape(-1, N_HALF),
+        T,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=I32,
+    ).reshape(batch + (2 * N_HALF,))
+    w12 = _recombine6(wide6)  # [..., 44], coeffs < 2^24.1
+    # same reduction tail as mul(): 2-pass carry (non-negative, < 2^24.1)
+    # then the high fold + final fold
+    c = carry(w12, CONV_LIMBS + 1, passes=2)
+    c = _fold_high(spec, c)
+    return _fold_final(spec, c)
+
+
+def dot_mxu(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Inner product sum_i a[i]*b[i] over the LEADING axis via ONE int8
+    MXU matmul per <=2^18 chunk (int32 accumulator bound: chunk*65*65 <
+    2^31).  Returns a single semi-form element.
+
+    The [44,44] limb cross matrix is folded along anti-diagonals in two
+    16-bit halves (diagonal sums of raw chunks can exceed int32), each
+    reduced with reduce_wide, then recombined as lo + 2^16*hi.
+    """
+    n = a.shape[0]
+    CHUNK = DOT_MXU_CHUNK
+    a6 = split6(a).reshape(n, -1)  # [n, 44] int8 (flatten any mid dims)
+    b6 = split6(b).reshape(n, -1)
+    idx = jnp.arange(N_HALF)[:, None] + jnp.arange(N_HALF)[None, :]  # i+j
+    parts = []
+    for s in range(0, n, CHUNK):
+        m6 = jax.lax.dot_general(
+            a6[s : s + CHUNK],
+            b6[s : s + CHUNK],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=I32,
+        )  # [44, 44], entries < chunk * 65 * 65
+        lo16 = m6 & 0xFFFF
+        hi16 = m6 >> 16
+        c_lo = jnp.zeros((2 * N_HALF,), I32).at[idx].add(lo16)
+        c_hi = jnp.zeros((2 * N_HALF,), I32).at[idx].add(hi16)
+
+        def _reduce44(w12):
+            # 44-coeff base-2^12 grid, |coeff| < 2^27.6: same chain as
+            # mul() (reduce_wide would extend past the fold matrix)
+            c = carry(w12, CONV_LIMBS + 1, passes=2)
+            c = _fold_high(spec, c)
+            return _fold_final(spec, c)
+
+        v_lo = _reduce44(_recombine6(c_lo))
+        v_hi = _reduce44(_recombine6(c_hi))
+        parts.append(add(spec, v_lo, mul_small(spec, v_hi, 1 << 16)))
+    if len(parts) == 1:
+        return parts[0]
+    return sum_reduce(spec, jnp.stack(parts), axis=0)
+
+
+def parallel_batch_inv(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Batch inversion over the leading axis via parallel prefix/suffix
+    products: 2*log2(n)+2 full-width muls + ONE single-element Fermat
+    exponentiation, all batch-parallel (no sequential scan over n).
+
+    inv_i = inv(prod_all) * prefix_{i-1} * suffix_{i+1}.  Inputs must be
+    nonzero (curve Z coordinates are); zero inputs produce garbage, not
+    zero — use ``batch_inv`` where the 0 -> 0 map matters.  ~10x cheaper
+    than per-element Fermat at n = 2^16 (32 vs ~380 muls per element).
+    """
+    n = x.shape[0]
+    N = 1 << max(1, (n - 1).bit_length())
+    one = jnp.broadcast_to(ones(spec), (1,) + x.shape[1:])
+    if N > n:
+        x_p = jnp.concatenate(
+            [x, jnp.broadcast_to(one, (N - n,) + x.shape[1:])], axis=0
+        )
+    else:
+        x_p = x
+    iota = jnp.arange(N)
+
+    def scan_prod(vals, reverse: bool):
+        for j in range(N.bit_length() - 1):
+            d = 1 << j
+            if reverse:
+                pred = jnp.roll(vals, -d, axis=0)
+                valid = iota < N - d
+            else:
+                pred = jnp.roll(vals, d, axis=0)
+                valid = iota >= d
+            pred = jnp.where(
+                valid.reshape((N,) + (1,) * (vals.ndim - 1)), pred, one
+            )
+            vals = mul(spec, vals, pred)
+        return vals
+
+    pre = scan_prod(x_p, reverse=False)  # pre[i] = prod_{0..i}
+    suf = scan_prod(x_p, reverse=True)  # suf[i] = prod_{i..N-1}
+    tinv = inv(spec, pre[-1])
+    pre_s = jnp.concatenate([one, pre[:-1]], axis=0)
+    suf_s = jnp.concatenate([suf[1:], one], axis=0)
+    out = mul(spec, mul(spec, pre_s, suf_s), tinv[None])
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Packed 8-word codecs (32 B per canonical element; for gather-bound
+# paths: fixed-base comb tables, per-window MSM point permutes)
+# ---------------------------------------------------------------------------
+
+PACK_WORDS = 8  # 8 x 32-bit words = 256 bits >= 255-bit canonical values
+
+
+def pack_words(x: jax.Array) -> jax.Array:
+    """CANONICAL limbs [..., 22] int32 -> packed [..., 8] uint32.
+
+    Bit-exact little-endian repack: word w holds bits [32w, 32w+32).
+    Caller must canon() first — limbs must be in [0, 2^12)."""
+    xu = x.astype(jnp.uint32)
+    words = []
+    for w in range(PACK_WORDS):
+        acc = None
+        for i in range(N_LIMBS):
+            lo_bit = LIMB_BITS * i - 32 * w
+            if lo_bit <= -LIMB_BITS or lo_bit >= 32:
+                continue
+            part = (
+                xu[..., i] << lo_bit if lo_bit >= 0 else xu[..., i] >> -lo_bit
+            )
+            acc = part if acc is None else acc | part
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
+
+
+def unpack_words(w: jax.Array) -> jax.Array:
+    """Packed [..., 8] uint32 -> canonical limbs [..., 22] int32."""
+    wu = w.astype(jnp.uint32)
+    limbs = []
+    for i in range(N_LIMBS):
+        bit = LIMB_BITS * i
+        j, off = bit >> 5, bit & 31
+        v = wu[..., j] >> off
+        if off > 32 - LIMB_BITS and j + 1 < PACK_WORDS:
+            v = v | (wu[..., j + 1] << (32 - off))
+        limbs.append(v & LIMB_MASK)
+    return jnp.stack(limbs, axis=-1).astype(I32)
 
 
 # ---------------------------------------------------------------------------

@@ -62,15 +62,28 @@ def _digits(scalars: jax.Array, window: int) -> jax.Array:
     return jnp.stack(rows[::-1], axis=0)
 
 
-def _segment_scan_bucket_sums(points, digits_sorted, window: int):
-    """Sorted-by-digit points -> [2^w] bucket sums (identity for empties).
+def _scatter_run_ends(points, digits_sorted, vals, window: int):
+    """Place each run's inclusive total (at its run-end position) into the
+    [2^w] bucket array (identity for empty buckets)."""
+    ends = jnp.concatenate(
+        [
+            (digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32),
+            jnp.ones((1,), jnp.int32),
+        ]
+    )
+    n_buckets = 1 << window
+    idx = jnp.where(ends == 1, digits_sorted, n_buckets)
+    ident = E.match_vma(E.identity((n_buckets + 1,)), points)
+    buckets = jax.tree.map(lambda dst, src: dst.at[idx].set(src), ident, vals)
+    return jax.tree.map(lambda a: a[:n_buckets], buckets)
 
-    Segmented inclusive scan via Hillis-Steele: log2(n) unrolled steps,
-    each ONE batched masked point-add over the whole array.  (The obvious
-    jax.lax.associative_scan alternative inlines ~2n combiner bodies into
-    the graph — hundreds of thousands of HLO ops — and makes XLA:CPU
-    compile for minutes; this formulation keeps the graph O(log n).)
-    """
+
+def _segment_scan_1level(points, digits_sorted, window: int):
+    """Single-level Hillis-Steele segmented scan: log2(n) full-width
+    masked point-adds.  Used for small n (the two-level variant needs
+    n divisible into chunks); graph is O(log n) — the obvious
+    jax.lax.associative_scan alternative inlines ~2n combiner bodies and
+    makes XLA:CPU compile for minutes."""
     n = digits_sorted.shape[0]
     starts = jnp.concatenate(
         [
@@ -97,17 +110,99 @@ def _segment_scan_bucket_sums(points, digits_sorted, window: int):
         return flags, vals
 
     _, vals = jax.lax.fori_loop(0, steps, hs_body, (starts, points))
-    ends = jnp.concatenate(
+    return _scatter_run_ends(points, digits_sorted, vals, window)
+
+
+SCAN_CHUNK = 16
+
+
+def _segment_scan_bucket_sums(points, digits_sorted, window: int):
+    """Sorted-by-digit points -> [2^w] bucket sums (identity for empties).
+
+    TWO-LEVEL segmented scan (r05): chunk the sorted array [n] -> [m, C]
+    (C = SCAN_CHUNK) and run the Hillis-Steele segmented scan along the
+    chunk axis (log2 C full-width masked adds), then a second segmented
+    scan over the m chunk TAILS (log2 m adds at width m = n/C) to build
+    the cross-chunk run carries, applied with ONE more full-width masked
+    add.  Point-add lanes: n*(log2 C + 1) + (n/C)*log2 m ~ 5.75n at
+    n = 2^16, vs 16n for the single-level scan — the schedule was the #2
+    cost in the r04 MSM (VERDICT r04 weak #2).
+
+    Correctness: level-1 flags end as the within-chunk inclusive OR of
+    run-start marks, so flag==0 identifies elements whose run crosses in
+    from the previous chunk; the level-2 scan over (tail_flag, tail_sum)
+    is exactly the segmented-scan combiner over whole chunks.
+    """
+    n = digits_sorted.shape[0]
+    C = SCAN_CHUNK
+    if n % C or n // C < 2:
+        return _segment_scan_1level(points, digits_sorted, window)
+    m = n // C
+    starts = jnp.concatenate(
         [
-            (digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32),
             jnp.ones((1,), jnp.int32),
+            (digits_sorted[1:] != digits_sorted[:-1]).astype(jnp.int32),
         ]
     )
-    n_buckets = 1 << window
-    idx = jnp.where(ends == 1, digits_sorted, n_buckets)
-    ident = E.match_vma(E.identity((n_buckets + 1,)), points)
-    buckets = jax.tree.map(lambda dst, src: dst.at[idx].set(src), ident, vals)
-    return jax.tree.map(lambda a: a[:n_buckets], buckets)
+    s2 = starts.reshape(m, C)
+    p2 = jax.tree.map(lambda a: a.reshape((m, C) + a.shape[1:]), points)
+    ident2 = E.match_vma(E.identity((m, C)), points)
+    col = jnp.arange(C)
+
+    def hs1_body(j, carry):
+        flags, vals = carry
+        d = jnp.int32(1) << j
+        predv = jax.tree.map(lambda a: jnp.roll(a, d, axis=1), vals)
+        predf = jnp.roll(flags, d, axis=1)
+        valid = jnp.broadcast_to((col >= d)[None, :], (m, C))
+        predv = E.select(valid, predv, ident2)
+        predf = jnp.where(valid, predf, 1)
+        summed = E.add(vals, predv)
+        vals = E.select(flags == 0, summed, vals)
+        return flags | predf, vals
+
+    flags, vals = jax.lax.fori_loop(
+        0, C.bit_length() - 1, hs1_body, (s2, p2)
+    )
+
+    # level 2: segmented scan over chunk tails
+    tail_f = flags[:, -1]
+    tail_v = jax.tree.map(lambda a: a[:, -1], vals)
+    ident_m = E.match_vma(E.identity((m,)), points)
+    iota_m = jnp.arange(m)
+
+    def hs2_body(j, carry):
+        f2, v2 = carry
+        d = jnp.int32(1) << j
+        predv = jax.tree.map(lambda a: jnp.roll(a, d, axis=0), v2)
+        predf = jnp.roll(f2, d)
+        valid = iota_m >= d
+        predv = E.select(valid, predv, ident_m)
+        predf = jnp.where(valid, predf, 1)
+        summed = E.add(v2, predv)
+        v2 = E.select(f2 == 0, summed, v2)
+        return f2 | predf, v2
+
+    f2, v2 = jax.lax.fori_loop(
+        0, max(1, m.bit_length() - 1), hs2_body, (tail_f, tail_v)
+    )
+
+    # cross-chunk carry-in for chunk c = inclusive tail scan of chunk c-1
+    ident_1 = E.match_vma(E.identity((1,)), points)
+    carry_in = jax.tree.map(
+        lambda a, i: jnp.concatenate([i, a[:-1]], axis=0),
+        v2,
+        ident_1,
+    )
+    carry_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, None], (m, C) + a.shape[1:]),
+        carry_in,
+    )
+    with_carry = E.add(vals, carry_b)
+    vals = E.select(flags == 0, with_carry, vals)
+
+    flat = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), vals)
+    return _scatter_run_ends(points, digits_sorted, flat, window)
 
 
 def _aggregate_buckets(buckets, window: int):
@@ -178,10 +273,15 @@ def msm(
     scan_fn = jax.vmap(_segment_scan_bucket_sums, in_axes=(0, 0, None))
     agg_fn = jax.vmap(_aggregate_buckets, in_axes=(0, None))
 
+    # normalize+pack the points ONCE (64 B/point): every per-window
+    # permute then gathers 5.5x fewer bytes than the 4x22-limb layout —
+    # the r04 path was moving ~350 B/point/window through HBM (r05)
+    packed = E.to_affine_pack(points)  # [N, 16] uint32
+
     def one_group(_, dg):
         order = jnp.argsort(dg, axis=1)
         dig_sorted = jnp.take_along_axis(dg, order, axis=1)
-        pts_sorted = jax.tree.map(lambda a: a[order], points)  # [G, N, L]
+        pts_sorted = E.from_affine_pack(packed[order])  # [G, N] points
         buckets = scan_fn(pts_sorted, dig_sorted, w)
         return None, agg_fn(buckets, w)  # [G] points
 
@@ -250,7 +350,7 @@ def msm_shared_bases(points, scalar_matrix: jax.Array):
     return acc
 
 
-FIXED_BASE_WINDOW = 4
+FIXED_BASE_WINDOW = 8
 
 
 @functools.lru_cache(maxsize=None)
@@ -324,18 +424,21 @@ def fixed_base_tables(
 
     # the tables are deterministic pure data: persist them as npz so the
     # (compile-heavy through the tunnel) device build runs once per VM,
-    # not once per process — loading arrays beats loading executables
+    # not once per process — loading arrays beats loading executables.
+    # v2 format (r05): PACKED AFFINE — one uint32 [T, 16] array, 64 B per
+    # entry vs the 352 B extended-limb layout.  The r04 comb was
+    # HBM-bandwidth-bound on its gathers; this is a 5.5x traffic cut.
     cache_dir = os.environ.get(
         "OTTI_JAX_CACHE",
         os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
     )
     key = hashlib.sha256(
-        b"combtbl-v1|%d|%d|%d|%s" % (n_gens, window, with_blind, label)
+        b"combtbl-v2|%d|%d|%d|%s" % (n_gens, window, with_blind, label)
     ).hexdigest()[:24]
     path = os.path.join(cache_dir, f"combtbl-{key}.npz")
     try:
         with np.load(path) as f:
-            tbl = {k: jnp.asarray(f[k]) for k in ("x", "y", "z", "t")}
+            tbl = {"p": jnp.asarray(f["p"])}
         return tbl, n_win, n_d
     except Exception:
         pass
@@ -344,13 +447,15 @@ def fixed_base_tables(
     gens = list(gens) + ([h] if with_blind else [])
     with jax.ensure_compile_time_eval():
         pts = E.stack([E.from_ref(p) for p in gens])
-        tbl = _comb_build_jit(n_win, n_d, window)(pts)
-        tbl = jax.tree.map(lambda a: a.block_until_ready(), tbl)
+        ext = _comb_build_jit(n_win, n_d, window)(pts)
+        packed = jax.jit(E.to_affine_pack)(ext)
+        packed = packed.block_until_ready()
+    tbl = {"p": packed}
     try:
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as fh:
-            np.savez(fh, **{k: np.asarray(v) for k, v in tbl.items()})
+            np.savez(fh, p=np.asarray(packed))
         os.replace(tmp, path)
     except Exception:
         pass
@@ -397,7 +502,7 @@ def msm_fixed_base(
     win_idx = jnp.arange(n_win, dtype=jnp.int32)[None, None, :]
     flat = (gen_idx * n_win + win_idx) * n_d + digits  # [rows, cols, n_win]
     flat = flat.reshape(rows, cols * n_win)
-    gathered = {k: tbl[k][flat] for k in ("x", "y", "z", "t")}
+    gathered = E.from_affine_pack(tbl["p"][flat])  # 64 B/row gather
     if cols * n_win <= 2048:
         # small reduction (per-round sigma commitments): one-callsite
         # masked reduction keeps the compile graph tiny

@@ -48,8 +48,12 @@ def prove(
     vars_ints: list,
     inputs_ints: list,
 ) -> SNARKProof:
-    # run the plain NIZK prover with a SNARK-domain transcript
-    base = nizk.prove(dev, vars_ints, inputs_ints, proto=PROTO)
+    # base proof via the device-FS hybrid prover (byte-identical wire to
+    # nizk.prove; zero per-round host syncs — the classic prover here cost
+    # ~100 ms of tunnel latency per sumcheck round, VERDICT r04 next #4)
+    from . import hybrid
+
+    base = hybrid.prove(dev, vars_ints, inputs_ints, proto=PROTO)
 
     # reconstruct (rx, ry) by replaying the transcript, then prove evals
     t = _replay_transcript(dev, inputs_ints, base)

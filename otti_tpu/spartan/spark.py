@@ -352,7 +352,7 @@ def prove_eval(
         sel, comm.val, e_row, e_col, eq_n, inv_r_row, g_row, inv_r_col, g_col,
     )
     consts = tuple(_dev_scalar(c) for c in (c2, c3, c4, c5))
-    entry_rounds, rho_star, finals, e_final = sumcheck.prove_custom(
+    entry_rounds, rho_star, finals, e_final = sumcheck.prove_custom_device(
         claim_e, tables, consts, "spark_entry4", 4, t, label + b"/entry"
     )
     claims = {
@@ -384,7 +384,7 @@ def prove_eval(
         eq_t = mle.eq_table(_dev_vec(rho_t))
         gt = gT_row if side_lbl == b"/row" else gT_col
         claim_t = c6 * s_T % MOD
-        rounds, sigma, finals_t, _ = sumcheck.prove_custom(
+        rounds, sigma, finals_t, _ = sumcheck.prove_custom_device(
             claim_t,
             (m_tbl, invT_tbl, eq_t, gt),
             (_dev_scalar(c6), _dev_scalar(c7)),

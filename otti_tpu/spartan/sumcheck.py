@@ -117,7 +117,8 @@ def _bind_tables(r, active_half, tables):
         half = tbl.shape[0] // 2
         lo = tbl[:half]
         hi = jax.lax.dynamic_slice_in_dim(tbl, active_half, half, axis=0)
-        bound = F.add(SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo)))
+        # r is SHARED across the fold: MXU Toeplitz mul (F.mul_scalar)
+        bound = F.add(SCALAR, lo, F.mul_scalar(SCALAR, F.sub(SCALAR, hi, lo), r))
         out.append(jax.lax.dynamic_update_slice_in_dim(tbl, bound, 0, axis=0))
     return tuple(out)
 
@@ -266,6 +267,138 @@ def prove_custom(
     return rounds, rs, finals, e
 
 
+@functools.lru_cache(maxsize=None)
+def _custom_seg_kernel(
+    n: int, key: str, degree: int, label: bytes, rounds: int, final: bool
+):
+    """``rounds`` device-FS custom sumcheck rounds on size-n tables.
+
+    Same masked fixed-shape design as the hybrid NIZK phase kernels
+    (spartan/hybrid.py): the sponge rides the carry at the static
+    post-challenge offsets, so every round of every segment shares ONE
+    scan body; segments shrink the tables physically between kernels.
+    Wire format is byte-identical to prove_custom's host loop."""
+    from ..transcript.device import DeviceStrobe, DeviceTranscript
+    from .fused import _POST_CHALLENGE
+
+    comb = _COMB_REGISTRY[key]
+    half = n // 2
+    pts = _eval_points(degree)
+    labels = [label + (b"/e%d" % p if p else b"/e0") for p in pts]
+
+    @jax.jit
+    def k(state, consts, *tables):
+        def body(carry, _):
+            state, ah, tables = carry
+            mask = jnp.arange(half) < ah
+            outs = []
+            for tt in pts:
+                exts = tuple(_ext_masked(tbl, tt, ah) for tbl in tables)
+                vals = comb(consts, exts)
+                vals = F.select(mask, vals, jnp.zeros_like(vals))
+                outs.append(F.canon(SCALAR, F.sum_reduce(SCALAR, vals, axis=0)))
+            evals = jnp.stack(outs)
+            t = DeviceTranscript(
+                _strobe=DeviceStrobe.from_state(state, *_POST_CHALLENGE)
+            )
+            for i, lbl in enumerate(labels):
+                t.append_scalar_limbs(lbl, evals[i])
+            r = t.challenge_scalar_limbs(label + b"/r")
+            tables = _bind_tables(r, ah, tables)
+            return (t.strobe.state, ah // 2, tables), evals
+
+        carry = (state, jnp.int32(n // 2), tuple(tables))
+        carry, evals = jax.lax.scan(body, carry, None, length=rounds)
+        state, _, tables = carry
+        if final:
+            finals = jnp.stack([F.canon(SCALAR, t_[0]) for t_ in tables])
+            return state, evals, finals
+        return state, tables, evals
+
+    return k
+
+
+_CUSTOM_SEG = 8
+
+
+def prove_custom_device(
+    claim: int,
+    tables: tuple,
+    consts: tuple,
+    key: str,
+    degree: int,
+    transcript: Transcript,
+    label: bytes,
+):
+    """Device-FS variant of prove_custom: ALL rounds run in segmented
+    device scans (device Merlin transcript) with ONE fetch at the end —
+    zero per-round host round trips (VERDICT r04 next #4: the SPARK
+    sumchecks were the last host-driven rounds in the stack).
+
+    The host transcript must sit at the post-challenge offsets (true at
+    every SPARK call site: each sumcheck follows a challenge_vector).
+    After the fetch the host replays the rounds into ``transcript`` —
+    byte-identical to the host loop, so verify_custom is unchanged."""
+    from .hybrid import _check_handoff, _shrink_kernel
+
+    n = tables[0].shape[0]
+    mu = (n - 1).bit_length()
+    state = _check_handoff(transcript.strobe)
+    offs, cur_n = 0, n
+    evals_parts = []
+    finals_dev = None
+    while True:
+        rounds = min(_CUSTOM_SEG, mu - offs)
+        final = offs + rounds >= mu
+        out = _custom_seg_kernel(cur_n, key, degree, label, rounds, final)(
+            state, consts, *tables
+        )
+        if final:
+            state, evals, finals_dev = out
+        else:
+            state, tables, evals = out
+        evals_parts.append(evals)
+        offs += rounds
+        if final:
+            break
+        next_n = max(cur_n >> rounds, 2)
+        if next_n < cur_n:
+            tables = _shrink_kernel(cur_n, next_n, len(tables))(*tables)
+            cur_n = next_n
+    evals_all = (
+        evals_parts[0]
+        if len(evals_parts) == 1
+        else jnp.concatenate(evals_parts, axis=0)
+    )
+    evals_np, finals_np = jax.device_get((evals_all, finals_dev))
+
+    # host replay: identical absorb/challenge stream as prove_custom
+    e = claim % MOD
+    rounds_out, rs = [], []
+    for j in range(mu):
+        ev = [_row_to_int(evals_np[j, i]) for i in range(evals_np.shape[1])]
+        e0 = ev[0]
+        e1 = (e - e0) % MOD
+        evals = [e0, e1] + ev[1:]
+        transcript.append_scalar(label + b"/e0", _scalar_bytes(e0))
+        for jj, v in enumerate(ev[1:]):
+            transcript.append_scalar(
+                label + b"/e%d" % (jj + 2), _scalar_bytes(v)
+            )
+        r = transcript.challenge_scalar(label + b"/r")
+        rounds_out.append(evals)
+        rs.append(r)
+        e = lagrange_eval(evals, r)
+    finals = tuple(_row_to_int(row) for row in finals_np)
+    return rounds_out, rs, finals, e
+
+
+def _row_to_int(row) -> int:
+    from ..field.fields import limbs_to_int
+
+    return limbs_to_int(row) % MOD
+
+
 def verify_custom(
     claim: int, round_polys: list, degree: int, transcript: Transcript, label: bytes
 ):
@@ -298,7 +431,7 @@ def _bind_kernel(n: int, k_tables: int):
             lo = tbl[:half]
             hi = jax.lax.dynamic_slice_in_dim(tbl, active_half, half, axis=0)
             bound = F.add(
-                SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo))
+                SCALAR, lo, F.mul_scalar(SCALAR, F.sub(SCALAR, hi, lo), r)
             )
             out.append(jax.lax.dynamic_update_slice_in_dim(tbl, bound, 0, axis=0))
         return tuple(out)

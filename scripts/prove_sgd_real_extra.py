@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""Prove the supplementary REAL-data SGD configs end-to-end (zk, warm).
+
+Runs the exact cli.run_sgd pipeline (fetch -> sklearn SGD oracle ->
+certificate lowering -> zk prove -> verify -> out/SGD artifacts) over
+datasets/SGD/pmlb-real-extra.json — real UCI data embedded from
+sklearn's bundled corpus (see datasets/SGD/README.md for why the
+reference's named PMLB sets are unobtainable in this environment).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    from otti_tpu import cli
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    cfg = os.path.join(repo, "datasets", "SGD", "pmlb-real-extra.json")
+    out = os.path.join(repo, "out")
+    ok = cli.run_sgd(cfg, out, prove=True, zk=True)
+    print("real-extra SGD suite:", "OK" if ok else "FAILED")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

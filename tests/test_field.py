@@ -124,3 +124,64 @@ def test_vmap():
     a = to_dev(spec, xs)
     g = jax.jit(jax.vmap(lambda u: ops.canon(spec, ops.square(spec, u))))
     assert fields.limbs_to_ints(g(a)) == [(x * x) % spec.modulus for x in xs]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
+def test_mxu_kernels(spec):
+    """mul_scalar (Toeplitz int8 matmul) and dot_mxu (limb-cross matmul)
+    vs the big-int oracle, on SEMI-form (non-canonical) inputs — the forms
+    the provers actually feed them (r05 MXU kernels)."""
+    r = random.Random(11)
+    n = 700
+    xs = [r.randrange(spec.modulus) for _ in range(n)]
+    ys = [r.randrange(spec.modulus) for _ in range(n)]
+    k = r.randrange(spec.modulus)
+    a = jax.numpy.asarray(fields.ints_to_limbs(xs))
+    b = jax.numpy.asarray(fields.ints_to_limbs(ys))
+    kk = jax.numpy.asarray(fields.int_to_limbs(k))
+    # put inputs into genuine semi form (limbs can exceed 2^12-1)
+    semi = jax.jit(lambda u, v: ops.add(spec, u, v))
+    a_semi = semi(a, jax.numpy.zeros_like(a))
+    k_semi = jax.jit(lambda u: ops.mul(spec, u, ops.ones(spec)))(kk)
+
+    ms = jax.jit(
+        lambda d, s: ops.canon(spec, ops.mul_scalar(spec, d, s))
+    )
+    got = np.asarray(ms(a_semi, k_semi))
+    want = [(x * k) % spec.modulus for x in xs]
+    assert [fields.limbs_to_int(row) for row in got] == want
+
+    # dot_mxu incl. the chunk boundary (shrink the chunk to force 3 chunks)
+    import otti_tpu.field.ops as O
+
+    old = O.DOT_MXU_CHUNK
+    O.DOT_MXU_CHUNK = 256
+    try:
+        dt = jax.jit(lambda u, v: ops.canon(spec, ops.dot_mxu(spec, u, v)))
+        got_d = fields.limbs_to_int(np.asarray(dt(a_semi, b)))
+        want_d = sum(x * y for x, y in zip(xs, ys)) % spec.modulus
+        assert got_d == want_d
+    finally:
+        O.DOT_MXU_CHUNK = old
+
+    # the F.dot dispatcher (n >= 256 -> MXU path) agrees too
+    dd = jax.jit(lambda u, v: ops.canon(spec, ops.dot(spec, u, v)))
+    assert fields.limbs_to_int(np.asarray(dd(a_semi, b))) == want_d
+
+
+def test_pack_words_roundtrip():
+    r = random.Random(12)
+    xs = [r.randrange(BASE.modulus) for _ in range(257)] + [0, 1, BASE.modulus - 1]
+    a = jax.numpy.asarray(fields.ints_to_limbs(xs))
+    f = jax.jit(lambda u: ops.unpack_words(ops.pack_words(u)))
+    assert np.array_equal(np.asarray(f(a)), np.asarray(a))
+
+
+def test_parallel_batch_inv():
+    r = random.Random(13)
+    xs = [r.randrange(1, BASE.modulus) for _ in range(100)]
+    a = jax.numpy.asarray(fields.ints_to_limbs(xs))
+    f = jax.jit(lambda u: ops.canon(BASE, ops.parallel_batch_inv(BASE, u)))
+    got = [fields.limbs_to_int(row) for row in np.asarray(f(a))]
+    want = [pow(x, BASE.modulus - 2, BASE.modulus) for x in xs]
+    assert got == want
