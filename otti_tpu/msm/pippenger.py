@@ -206,22 +206,27 @@ def _segment_scan_bucket_sums(points, digits_sorted, window: int):
 
 
 def _aggregate_buckets(buckets, window: int):
-    """sum_b b * S_b: Horner over the window bits, one masked tree-sum per
-    bit — all inside a fori_loop (single point-op instantiation)."""
+    """sum_b b * S_b via SUFFIX sums: T_j = sum_{b>=j} S_b (Hillis-Steele,
+    log2(2^w) full-width masked adds), then sum_{j>=1} T_j = the weighted
+    total (one tree-sum).  ~2x the adds of the old per-bit Horner but
+    ~6x fewer SEQUENTIAL kernel steps (24 vs ~150) — the r05 profile
+    showed aggregation at 43 ms/window was dispatch-latency-bound, the
+    single largest cost in the 2^16 MSM (0.95 of 1.50 s)."""
     n_buckets = 1 << window
-    bucket_ids = jnp.arange(n_buckets, dtype=jnp.int32)
+    iota = jnp.arange(n_buckets)
     ident = E.match_vma(E.identity((n_buckets,)), buckets)
 
-    def body(i, acc):
-        t = window - 1 - i
-        acc = E.double(acc)
-        mask = ((bucket_ids >> t) & 1) == 1
-        sel = E.select(mask, buckets, ident)
-        return E.add(acc, E.sum_points(sel))
+    def suffix_body(j, vals):
+        d = jnp.int32(1) << j
+        nxt = jax.tree.map(lambda a: jnp.roll(a, -d, axis=0), vals)
+        valid = iota < n_buckets - d
+        nxt = E.select(valid, nxt, ident)
+        return E.add(vals, nxt)
 
-    return jax.lax.fori_loop(
-        0, window, body, E.match_vma(E.identity(()), buckets)
-    )
+    T = jax.lax.fori_loop(0, window, suffix_body, buckets)
+    # drop bucket 0 (weight 0) and tree-sum the suffixes
+    T1 = E.select(iota >= 1, T, ident)
+    return E.sum_points(T1)
 
 
 def pick_window(n: int) -> int:
@@ -253,11 +258,11 @@ def msm(
     digits = _digits(scalars, w)  # [n_win, N], MSB window first
     n_win = digits.shape[0]
     if win_group is None:
-        # cap the per-op gather at ~2^17 point-rows: bigger gathers fall
-        # into the XLA slow-gather regime measured on-chip r04 (the same
-        # cliff as the Hyrax commit chunks — 131k rows/gather fast, 246k+
-        # slow), which cost the 2^16-point bench 4x
-        win_group = max(1, min(8, (1 << 16) // max(n, 1)))
+        # cap the per-op gather at ~2^17 point-rows (the r04 slow-gather
+        # cliff was measured on 352 B rows; the packed 64 B rows tolerate
+        # 2x the row count — win_group=2 at n=2^16 halves the sequential
+        # group steps and doubles every kernel's width, r05)
+        win_group = max(1, min(8, (1 << 17) // max(n, 1)))
     win_group = min(win_group, n_win)
     # pad with zero windows at the MSB end to a multiple of the group
     # (digit 0 -> bucket 0 -> weight 0 in aggregation -> identity window
@@ -448,8 +453,20 @@ def fixed_base_tables(
     with jax.ensure_compile_time_eval():
         pts = E.stack([E.from_ref(p) for p in gens])
         ext = _comb_build_jit(n_win, n_d, window)(pts)
-        packed = jax.jit(E.to_affine_pack)(ext)
-        packed = packed.block_until_ready()
+        ext = jax.tree.map(lambda a: a.block_until_ready(), ext)
+    # affine-normalize + pack in CHUNKS with the table slices as explicit
+    # jit ARGUMENTS: a whole-table pack at w=8 (4M+ entries) allocates
+    # ~10 full-size intermediates inside parallel_batch_inv and OOMs the
+    # 16 GB HBM (r05 measured; and under ensure_compile_time_eval the
+    # slices were captured as 13 GB of lowering constants)
+    n_rows_tbl = ext["x"].shape[0]
+    CH = 1 << 19
+    pack_jit = jax.jit(E.to_affine_pack)
+    parts = []
+    for s in range(0, n_rows_tbl, CH):
+        sl = jax.tree.map(lambda a: a[s : s + CH], ext)
+        parts.append(np.asarray(pack_jit(sl)))
+    packed = jnp.asarray(np.concatenate(parts, axis=0))
     tbl = {"p": packed}
     try:
         os.makedirs(cache_dir, exist_ok=True)

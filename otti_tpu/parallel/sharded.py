@@ -86,7 +86,7 @@ def bind_sharded(mesh: Mesh, r, *tables):
         for tbl in tbls:
             lo, hi = tbl[0::2], tbl[1::2]
             out.append(
-                F.add(SCALAR, lo, F.mul(SCALAR, r_l[None, :], F.sub(SCALAR, hi, lo)))
+                F.add(SCALAR, lo, F.mul_scalar(SCALAR, F.sub(SCALAR, hi, lo), r_l))
             )
         return tuple(out)
 

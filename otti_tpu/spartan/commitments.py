@@ -98,14 +98,16 @@ def commit_rows(matrix_limbs: jax.Array, blinds: list, label: bytes, tbl=None):
         )
         cols += 1
     if tbl is None:
-        # note (r03): an 8-bit window halves the op count but the 16x
-        # bigger table makes the gather ~8x SLOWER end-to-end — w=4 wins
+        # r05: with PACKED AFFINE tables (64 B/entry vs 352) the w=8 comb
+        # is gather-light enough to win outright — 137k pts/s at 2^16 vs
+        # 42.9k for the r04 w=4 extended-coordinate layout (the r03 note
+        # "w=8 gathers 8x slower" was measured on 352 B entries)
         window = pippenger.FIXED_BASE_WINDOW
         tbl, _, _ = pippenger.fixed_base_tables(
             n_gens, label, window, with_blinds
         )
     else:
-        window = pippenger.FIXED_BASE_WINDOW  # caller-built tables are w=4
+        window = pippenger.FIXED_BASE_WINDOW  # caller tables use the default
     n_win = -(-pippenger.SCALAR_BITS // window)
     # Chunk rows so each lax.map iteration gathers <= ~2^18 table rows,
     # AND cap the chunk at 8 rows: r04 on-chip sweep (cols=257/513 Hyrax

@@ -95,6 +95,57 @@ def verify_rlc(
     return ip == want
 
 
+def open_rlc_bullet(polys_dev: list, weights: list, point: list, t, label: bytes):
+    """Log-sized RLC opening: instead of REVEALING the u-vector
+    (32 B x 2^mu_cols on the wire — 14 KB of the r04 SNARK proof), prove
+    <u, eq_R(point)> = sum_k w_k*claim_k with the same transparent bullet
+    argument the base NIZK opening uses (r05; VERDICT r04 next #4 size
+    target).  The verifier derives the u-commitment itself from the row
+    commitments, so only 2*log2(cols)+3 group elements go on the wire."""
+    from . import bullet
+    from .zknizk import _eq_weights
+
+    u_ints = open_rlc(polys_dev, weights, point)
+    n = polys_dev[0].shape[0]
+    mu_rows, mu_cols = hyrax_dims(n)
+    R = _eq_weights(point[mu_rows:])
+    G, H = commitments.gen_points_host(1 << mu_cols, label)
+    Q = bullet.q_point_host(label)
+    return bullet.prove(t, list(G), H, Q, u_ints, R, 0, rng=None)
+
+
+def verify_rlc_bullet(
+    comm_lists: list,
+    weights: list,
+    point: list,
+    claimed_vals: list,
+    proof,
+    label: bytes,
+    t,
+) -> bool:
+    """Verify a bullet RLC opening: C_u = sum_i L_i * (sum_k w_k C_k[i]);
+    P = C_u + (sum_k w_k claim_k)*Q; bullet-check <u, eq_R> against P."""
+    from ..native import msm_host, ristretto_decode_host
+    from . import bullet
+    from .zknizk import _eq_weights
+
+    n_rows = len(comm_lists[0])
+    mu_rows = (n_rows - 1).bit_length() if n_rows > 1 else 0
+    combined = []
+    for i in range(n_rows):
+        pts = [ristretto_decode_host(cl[i]) for cl in comm_lists]
+        if any(p is None for p in pts):
+            return False
+        combined.append(msm_host(pts, [w % L_ORD for w in weights]))
+    Lw = _eq_weights(point[:mu_rows])
+    R = _eq_weights(point[mu_rows:])
+    want = sum(w * v for w, v in zip(weights, claimed_vals)) % L_ORD
+    G, H = commitments.gen_points_host(len(R), label)
+    Q = bullet.q_point_host(label)
+    P = msm_host(combined + [Q], Lw + [want])
+    return bullet.verify(t, list(G), H, Q, R, P, proof)
+
+
 _eval_jit_cache: dict = {}
 
 

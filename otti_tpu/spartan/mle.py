@@ -30,7 +30,8 @@ def _eq_table_impl(r_limbs: jax.Array) -> jax.Array:
     tbl = F.ones(SCALAR, (1,))
     for j in range(mu):
         rj = r_limbs[j]
-        hi = F.mul(SCALAR, tbl, rj[None, :])
+        # shared-scalar mul: MXU Toeplitz path for the large doublings
+        hi = F.mul_scalar(SCALAR, tbl, rj)
         lo = F.sub(SCALAR, tbl, hi)  # tbl * (1 - r_j)
         # new index: old index * 2 + x_j  -> interleave lo/hi
         tbl = jnp.stack([lo, hi], axis=1).reshape(-1, lo.shape[-1])
@@ -60,7 +61,7 @@ def bind_top(poly: jax.Array, r: jax.Array) -> jax.Array:
     """
     n = poly.shape[0] // 2
     lo, hi = poly[:n], poly[n:]
-    return F.add(SCALAR, lo, F.mul(SCALAR, r[None, :], F.sub(SCALAR, hi, lo)))
+    return F.add(SCALAR, lo, F.mul_scalar(SCALAR, F.sub(SCALAR, hi, lo), r))
 
 
 def evaluate(poly: jax.Array, r_limbs: jax.Array) -> jax.Array:

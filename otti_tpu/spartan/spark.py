@@ -186,7 +186,7 @@ class SparkSideProof:
     rounds: list
     claim_m: int
     claim_invT: int
-    opening_u: list
+    opening: object  # BulletOpeningProof (r05: u no longer revealed)
 
 
 @dataclasses.dataclass
@@ -201,7 +201,7 @@ class SparkEvalProof:
     s_R_col: int
     entry_rounds: list
     entry_claims: dict  # val, e_row, e_col, inv_r_row, inv_r_col, row, col
-    entry_opening_u: list
+    entry_opening: object  # BulletOpeningProof
     side_row: SparkSideProof
     side_col: SparkSideProof
 
@@ -368,13 +368,13 @@ def prove_eval(
     for k in order:
         t.append_scalar(label + b"/claim_" + k.encode(), _sb(claims[k]))
     d = [t.challenge_scalar(label + b"/d%d" % i) for i in range(len(order))]
-    entry_u = hyrax.open_rlc(
+    entry_bullet = hyrax.open_rlc_bullet(
         [comm.val, e_row, e_col, inv_r_row, inv_r_col, comm.row_f, comm.col_f],
         d,
         rho_star,
+        t,
+        GENS,
     )
-    for u in entry_u:
-        t.append_scalar(label + b"/entry_u", _sb(u))
 
     # ---- table sides ------------------------------------------------------
     def table_side(side_lbl, mu_t, m_tbl, invT_tbl, comm_m, comm_invT, s_T):
@@ -399,9 +399,7 @@ def prove_eval(
         d2 = [
             t.challenge_scalar(label + side_lbl + b"/d%d" % i) for i in range(2)
         ]
-        u2 = hyrax.open_rlc([m_tbl, invT_tbl], d2, sigma)
-        for u in u2:
-            t.append_scalar(label + side_lbl + b"/u", _sb(u))
+        b2 = hyrax.open_rlc_bullet([m_tbl, invT_tbl], d2, sigma, t, GENS)
         return SparkSideProof(
             comm_m=comm_m,
             comm_invT=comm_invT,
@@ -409,7 +407,7 @@ def prove_eval(
             rounds=rounds,
             claim_m=cm,
             claim_invT=ci,
-            opening_u=u2,
+            opening=b2,
         )
 
     side_row = table_side(b"/row", mu_x, m_row, invT_row, comm_m_row, comm_invT_row, s_T_row)
@@ -424,7 +422,7 @@ def prove_eval(
         s_R_col=s_R_col,
         entry_rounds=entry_rounds,
         entry_claims=claims,
-        entry_opening_u=entry_u,
+        entry_opening=entry_bullet,
         side_row=side_row,
         side_col=side_col,
     )
@@ -492,19 +490,18 @@ def verify_eval(
     for k in order:
         t.append_scalar(label + b"/claim_" + k.encode(), _sb(cl[k]))
     d = [t.challenge_scalar(label + b"/d%d" % i) for i in range(len(order))]
-    if not hyrax.verify_rlc(
+    if not hyrax.verify_rlc_bullet(
         [comm.comm_val, proof.comm_E_row, proof.comm_E_col,
          proof.comm_invR_row, proof.comm_invR_col, comm.comm_row,
          comm.comm_col],
         d,
         rho_star,
         [cl[k] for k in order],
-        proof.entry_opening_u,
+        proof.entry_opening,
         GENS,
+        t,
     ):
         return False
-    for u in proof.entry_opening_u:
-        t.append_scalar(label + b"/entry_u", _sb(u))
     # final entry identity (sel evaluated in closed form on the top vars)
     eq_n_star = _eq_point(rho_n, rho_star)
     sel_star = _sel_mle_eval([c1a, c1b, c1c, 0], rho_star[:2])
@@ -534,17 +531,16 @@ def verify_eval(
         d2 = [
             t.challenge_scalar(label + side_lbl + b"/d%d" % i) for i in range(2)
         ]
-        if not hyrax.verify_rlc(
+        if not hyrax.verify_rlc_bullet(
             [sp.comm_m, sp.comm_invT],
             d2,
             sigma,
             [sp.claim_m, sp.claim_invT],
-            sp.opening_u,
+            sp.opening,
             GENS,
+            t,
         ):
             return False
-        for u in sp.opening_u:
-            t.append_scalar(label + side_lbl + b"/u", _sb(u))
         id_star = _id_mle_eval(sigma, mu_t)
         eq_table_star = _eq_point(r_point, sigma)
         gT_star = (tau - id_star - gam * eq_table_star) % MOD

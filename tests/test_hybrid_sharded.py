@@ -94,3 +94,23 @@ def test_segmented_zk_sharded_matches_zknizk(k):
 
     assert _deep_eq(p_ref, p_k)
     assert zknizk.verify(dev, inputs, p_k)
+
+
+@pytest.mark.heavy
+def test_sharded_zk_suite_scale():
+    """Suite-scale sharding stays byte-identical (VERDICT r04 next #5):
+    a 2^14-cons instance at k=8 exercises multiple segments per phase and
+    a sharded Hyrax commit grid — the shapes the full LP/SDP suites hit.
+    (The committed brandy record at 2^15 comes from
+    scripts/mesh_suite_record.py.)"""
+    k = 8
+    if len(jax.devices()) < k:
+        pytest.skip("needs %d devices" % k)
+    shape, zvars, inputs = _random_r1cs(9000, 6000, 8, seed=77)
+    dev = shape.to_device()
+    assert shape.num_cons_padded >= (1 << 14)
+    seed = b"\x33" * 32
+    p_ref = hybrid.prove_zk(dev, zvars, inputs, seed=seed)
+    p_k = hybrid_sharded.prove_zk(dev, zvars, inputs, k=k, seed=seed)
+    assert _deep_eq(p_ref, p_k)
+    assert zknizk.verify(dev, inputs, p_k)

@@ -35,11 +35,12 @@ def test_snark_random_and_soundness():
     assert not snark.verify(
         dev, comm, inputs, dataclasses.replace(proof, spark_proof=sp0)
     )
-    # tampered opening fails
+    # tampered opening fails (bullet z1 response off by one — r05: the
+    # RLC openings are log-sized bullet arguments, u is never revealed)
+    bullet0 = proof.spark_proof.entry_opening
     sp1 = dataclasses.replace(
         proof.spark_proof,
-        entry_opening_u=[(proof.spark_proof.entry_opening_u[0] + 1) % MOD]
-        + proof.spark_proof.entry_opening_u[1:],
+        entry_opening=dataclasses.replace(bullet0, z1=(bullet0.z1 + 1) % MOD),
     )
     assert not snark.verify(
         dev, comm, inputs, dataclasses.replace(proof, spark_proof=sp1)
