@@ -241,11 +241,19 @@ def bench_scaling(n=1 << 18, iters=3):
         if k > len(jax.devices()):
             break
         mesh = sharded.make_mesh(k)
-        out = sharded.round_cubic_sharded(mesh, eq, pa, pb, pc)
+        # jit the whole sharded round: calling shard_map eagerly executes
+        # the body per-op (minutes of dispatch — why no r04 scaling
+        # record ever landed, r05 fix)
+        fn = jax.jit(
+            lambda eq, pa, pb, pc, m=mesh: sharded.round_cubic_sharded(
+                m, eq, pa, pb, pc
+            )
+        )
+        out = fn(eq, pa, pb, pc)
         _sync(out)
         t0 = time.time()
         for _ in range(iters):
-            out = sharded.round_cubic_sharded(mesh, eq, pa, pb, pc)
+            out = fn(eq, pa, pb, pc)
         _sync(out)
         times[k] = (time.time() - t0) / iters
     base = times.get(1)
