@@ -629,6 +629,27 @@ extern "C" void otti_msm(u8 out[128], const u8 *pts, const u8 *scalars,
     fe_from_bytes(P[i].Z, pts + 128 * i + 64);
     fe_from_bytes(P[i].T, pts + 128 * i + 96);
   }
+  if (n <= 32) {
+    // small-n fast path: shared-doubling multi double-and-add.  The
+    // bucket loop below costs ~512 pt_adds per window regardless of n
+    // (the running-sum scan), a ~2 ms floor that dominates the tiny
+    // MSMs issued by the sigma protocols (2-3 points per commit).
+    // Shared doubling costs 255 doubles + ~128*n adds total instead.
+    point acc;
+    pt_identity(acc);
+    for (int bit = 255; bit >= 0; --bit) {
+      if (bit != 255) pt_double(acc, acc);
+      for (size_t i = 0; i < n; ++i)
+        if ((scalars[32 * i + bit / 8] >> (bit % 8)) & 1)
+          pt_add(acc, acc, P[i]);
+    }
+    fe_to_bytes(out, acc.X);
+    fe_to_bytes(out + 32, acc.Y);
+    fe_to_bytes(out + 64, acc.Z);
+    fe_to_bytes(out + 96, acc.T);
+    delete[] P;
+    return;
+  }
   point total;
   pt_identity(total);
   point *buckets = new point[NBUCKETS];
@@ -665,6 +686,47 @@ extern "C" void otti_msm(u8 out[128], const u8 *pts, const u8 *scalars,
   fe_to_bytes(out + 96, total.T);
   delete[] P;
   delete[] buckets;
+}
+
+// Batched two-term combinations with SHARED scalars:
+//   out[i] = sa * A[i] + sb * B[i]   for i in [0, n)
+// (the bullet argument's per-round generator fold G' = u^-1 G_L + u G_R —
+// one library call per round instead of one 2-point MSM per generator).
+// Per pair: a 3-entry joint table {A, B, A+B} then one shared
+// double-and-add walk over the two scalars' joint bits.
+extern "C" void otti_fold_pairs(u8 *out, const u8 *a_pts, const u8 *b_pts,
+                                const u8 sa[32], const u8 sb[32], size_t n) {
+  int top = 255;
+  while (top > 0) {
+    int abit = (sa[top / 8] >> (top % 8)) & 1;
+    int bbit = (sb[top / 8] >> (top % 8)) & 1;
+    if (abit || bbit) break;
+    --top;
+  }
+  for (size_t i = 0; i < n; ++i) {
+    point tab[4];  // index (bbit<<1)|abit; tab[0] unused
+    fe_from_bytes(tab[1].X, a_pts + 128 * i);
+    fe_from_bytes(tab[1].Y, a_pts + 128 * i + 32);
+    fe_from_bytes(tab[1].Z, a_pts + 128 * i + 64);
+    fe_from_bytes(tab[1].T, a_pts + 128 * i + 96);
+    fe_from_bytes(tab[2].X, b_pts + 128 * i);
+    fe_from_bytes(tab[2].Y, b_pts + 128 * i + 32);
+    fe_from_bytes(tab[2].Z, b_pts + 128 * i + 64);
+    fe_from_bytes(tab[2].T, b_pts + 128 * i + 96);
+    pt_add(tab[3], tab[1], tab[2]);
+    point acc;
+    pt_identity(acc);
+    for (int bit = top; bit >= 0; --bit) {
+      if (bit != top) pt_double(acc, acc);
+      int d = ((sa[bit / 8] >> (bit % 8)) & 1) |
+              (((sb[bit / 8] >> (bit % 8)) & 1) << 1);
+      if (d) pt_add(acc, acc, tab[d]);
+    }
+    fe_to_bytes(out + 128 * i, acc.X);
+    fe_to_bytes(out + 128 * i + 32, acc.Y);
+    fe_to_bytes(out + 128 * i + 64, acc.Z);
+    fe_to_bytes(out + 128 * i + 96, acc.T);
+  }
 }
 
 // ===========================================================================

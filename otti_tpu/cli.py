@@ -551,12 +551,21 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
         with timer.time("fetch"):
             X, ypm, data_source = pmlb_local.fetch(
                 dataset, params["classes"][0], params["classes"][1],
-                params["seed"],
+                params["seed"], scale=int(params.get("scale", 1)),
             )
         with timer.time("oracle"):
+            # prob mode proves margins over the first floor(n/2) samples
+            # only (sgdcodegen.py:77-81) — solve for a certificate on
+            # exactly that slice (real sets can be half-separable only,
+            # e.g. breast_cancer_wisconsin)
+            Xo, yo = (
+                (X[: len(ypm) // 2], ypm[: len(ypm) // 2])
+                if prob_check
+                else (X, ypm)
+            )
             w = sgd_oracle.solve(
-                X,
-                ypm,
+                Xo,
+                yo,
                 seed=params["seed"],
                 eta0=params["eta0"],
                 maxiter=params["maxiter"],
@@ -592,6 +601,7 @@ def run_sgd(config_path, home_out, prove=True, prob_check=False, zk=False,
                         # hermetic generator of io/pmlb_local.py
                         "data_source": data_source,
                         "data_shape": list(xshape),
+                        "data_scale": int(params.get("scale", 1)),
                     },
                 )
             else:

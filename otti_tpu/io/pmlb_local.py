@@ -71,12 +71,18 @@ def synthesize(dataset: str, c1: int, c2: int, seed: int = 0):
     return X.astype(np.int64), labels.astype(np.int64)
 
 
-def fetch(dataset: str, c1: int, c2: int, seed: int = 0):
+def fetch(dataset: str, c1: int, c2: int, seed: int = 0, scale: int = 1):
     """(X_int, y_pm1, source) filtered to the two classes, as the reference
     does (sgdcodegen.py:32-33: X .astype(int) truncation, labels mapped to
     +-1).  ``source`` is "pmlb_cache" for real benchmark data (the in-repo
     datasets/pmlb_cache TSVs, e.g. the canonical UCI iris/wine) or
-    "synthetic" for the hermetic fallback."""
+    "synthetic" for the hermetic fallback.
+
+    ``scale`` multiplies the raw features BEFORE integer truncation —
+    decimal-preserving integerization for sets whose separating margin
+    lives below the unit grid (wine's 0.xx features).  The proved
+    statement is over the scaled integer dataset; metas record the
+    factor as ``data_scale``."""
     for path in _cache_paths(dataset):
         sep = "\t" if path.endswith(".tsv") else ","
         import csv
@@ -91,7 +97,7 @@ def fetch(dataset: str, c1: int, c2: int, seed: int = 0):
         mask = np.isin(data[:, t_idx], [c1, c2])
         data = data[mask]
         y = np.where(data[:, t_idx] == c1, 1, -1).astype(np.int64)
-        X = np.delete(data, t_idx, axis=1).astype(np.int64)
+        X = (np.delete(data, t_idx, axis=1) * scale).astype(np.int64)
         return X, y, "pmlb_cache"
     X, labels = synthesize(dataset, c1, c2, seed)
     y = np.where(labels == c1, 1, -1).astype(np.int64)

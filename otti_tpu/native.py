@@ -33,12 +33,21 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    try:
+        cpp = os.path.join(_DIR, "otti_host.cpp")
+        return os.path.getmtime(cpp) > os.path.getmtime(_SO)
+    except OSError:
+        return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -117,6 +126,30 @@ def msm_host(points, scalars) -> "ref.EdPoint":
     out = ctypes.create_string_buffer(128)
     _lib.otti_msm(out, pts, scs, n)
     return _pt_from_bytes(out.raw)
+
+
+def fold_pairs_host(A, B, sa: int, sb: int) -> list:
+    """[sa*A[i] + sb*B[i] for i] with SHARED scalars (one library call).
+
+    The bullet argument's per-round generator fold; falls back to n
+    2-point MSMs without the native library."""
+    from .refimpl import numeric as ref
+
+    n = len(A)
+    if len(B) != n:
+        raise ValueError("fold_pairs_host: length mismatch")
+    if not HAVE_NATIVE or not hasattr(_lib, "otti_fold_pairs"):
+        # also covers a stale .so that predates this entry point
+        return [msm_host([a, b], [sa, sb]) for a, b in zip(A, B)]
+    a_b = b"".join(_pt_to_bytes(p) for p in A)
+    b_b = b"".join(_pt_to_bytes(p) for p in B)
+    out = ctypes.create_string_buffer(128 * n)
+    _lib.otti_fold_pairs(
+        out, a_b, b_b,
+        (sa % ref.L).to_bytes(32, "little"),
+        (sb % ref.L).to_bytes(32, "little"), n,
+    )
+    return [_pt_from_bytes(out.raw[128 * i : 128 * (i + 1)]) for i in range(n)]
 
 
 def scalar_mul_host(p, k: int):

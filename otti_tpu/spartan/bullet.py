@@ -90,7 +90,7 @@ def prove(
 
     ``rng`` is a pedersen_host.BlindSource for the ZK flavor or None for
     the transparent deterministic flavor (all blinds zero)."""
-    from ..native import msm_host
+    from ..native import fold_pairs_host, msm_host
 
     n = len(x)
     # explicit errors (not assert: must survive python -O; ADVICE r02)
@@ -127,7 +127,7 @@ def prove(
         ui = _inv(u)
         x = [(u * lo + ui * hi) % L_ORDER for lo, hi in zip(xL, xR)]
         a = [(ui * lo + u * hi) % L_ORDER for lo, hi in zip(aL, aR)]
-        G = [msm_host([lo, hi], [ui, u]) for lo, hi in zip(GL, GR)]
+        G = fold_pairs_host(GL, GR, ui, u)
         r_hat = (r_hat + u * u % L_ORDER * l_b + ui * ui % L_ORDER * r_b) % L_ORDER
         n = h
 

@@ -19,11 +19,18 @@ def main():
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     cfg = os.path.join(repo, "datasets", "SGD", "pmlb-real-extra.json")
+    cfg_prob = os.path.join(repo, "datasets", "SGD", "pmlb-real-extra-prob.json")
     out = os.path.join(repo, "out")
     # two passes in one process so the committed meta records a WARM
     # steady-state capture (first pass pays the per-shape compile)
     ok = cli.run_sgd(cfg, out, prove=True, zk=True)
     ok = ok and cli.run_sgd(cfg, out, prove=True, zk=True)
+    # breast_cancer_wisconsin is NOT linearly separable on the full
+    # sample (max train accuracy 99.3% — no zero-subgradient certificate
+    # exists, for us or the reference); its prob-mode half IS, so it is
+    # proved as a probabilistic certificate (sgdcodegen.py:77-81 mode).
+    ok = ok and cli.run_sgd(cfg_prob, out, prove=True, zk=True, prob_check=True)
+    ok = ok and cli.run_sgd(cfg_prob, out, prove=True, zk=True, prob_check=True)
     print("real-extra SGD suite:", "OK" if ok else "FAILED")
     sys.exit(0 if ok else 1)
 
