@@ -89,3 +89,28 @@ def test_sgd_nizk_end_to_end_small():
     # flipping a public weight must break verification
     bad = [(inputs[0] + 1) % MOD] + inputs[1:]
     assert not nizk.verify(dev, bad, proof)
+
+
+def test_real_data_wine_certificate():
+    """wine_recognition (real UCI data, datasets/pmlb_cache) admits an
+    integer certificate after decimal-preserving x10 scaling — the
+    scaled-rounded-SVC oracle fallback (r05, VERDICT r04 next #3)."""
+    X, y, src = pmlb_local.fetch("wine_recognition", 0, 1, 220, scale=10)
+    assert src == "pmlb_cache"
+    w = sgd_oracle.solve(X, y, seed=220, eta0=1.0, maxiter=80000, tol=1e-3)
+    assert np.all(y * (X @ w) >= 1)
+    shape, vars_, inputs = sgd_cert.build(X, y, w)
+    assert shape.num_cons > 0
+
+
+def test_real_data_breast_cancer_prob_half():
+    """breast_cancer_wisconsin is NOT separable on the full sample (no
+    zero-subgradient certificate exists) but IS on the prob-mode half."""
+    X, y, src = pmlb_local.fetch("breast_cancer_wisconsin", 0, 1, 220, scale=10)
+    assert src == "pmlb_cache"
+    n = len(y) // 2
+    w = sgd_oracle.solve(X[:n], y[:n], seed=220, eta0=1.0, maxiter=80000,
+                         tol=1e-3)
+    assert np.all(y[:n] * (X[:n] @ w) >= 1)
+    shape, vars_, inputs = sgd_cert.build(X, y, w, prob=True)
+    assert shape.num_cons > 0

@@ -79,3 +79,31 @@ def test_scalar_field_ops():
         assert int.from_bytes(out.raw, "little") == (a + b) % ref.L
         lib.otti_sc_sub(out, a.to_bytes(32, "little"), b.to_bytes(32, "little"))
         assert int.from_bytes(out.raw, "little") == (a - b) % ref.L
+
+
+def test_msm_small_n_fast_path():
+    """n<=32 takes the shared-doubling branch (r05); must agree with the
+    python reference across the cutover and at edge scalars."""
+    r = random.Random(11)
+    pts = [ref.EdPoint.base() * r.randrange(1, ref.L) for _ in range(33)]
+    for n in (1, 2, 31, 32, 33):
+        sc = [r.randrange(ref.L) for _ in range(n)]
+        sc[0] = 0  # zero scalar edge
+        if n > 2:
+            sc[1] = ref.L - 1
+        acc = ref.EdPoint.identity()
+        for k, p in zip(sc, pts[:n]):
+            acc = acc + p * k
+        got = native.msm_host(pts[:n], sc)
+        assert got.ristretto_eq(acc), n
+
+
+def test_fold_pairs_host():
+    """out[i] = sa*A[i] + sb*B[i] (the bullet generator fold)."""
+    r = random.Random(12)
+    A = [ref.EdPoint.base() * r.randrange(1, ref.L) for _ in range(7)]
+    B = [ref.EdPoint.base() * r.randrange(1, ref.L) for _ in range(7)]
+    sa, sb = r.randrange(ref.L), r.randrange(ref.L)
+    out = native.fold_pairs_host(A, B, sa, sb)
+    for i in range(7):
+        assert out[i].ristretto_eq(A[i] * sa + B[i] * sb), i
