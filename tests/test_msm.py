@@ -74,3 +74,31 @@ def test_msm_shared_bases():
         for k, p in zip(ks[i], pts_ref):
             want = want + p * k
         check_equal(jax.tree.map(lambda a: a[i], got), want)
+
+
+@pytest.mark.parametrize("n", [32, 64, 256])
+def test_msm_two_level_scan_sizes(n):
+    """Sizes that take the TWO-LEVEL segmented scan (n % 16 == 0,
+    n/16 >= 2).  Pins the r05 carry-mask fix: the HS guard flags plant a
+    virtual boundary at every chunk's column 0, so the carry mask and
+    chunk flags must come from the pure OR-scan of the true run-start
+    marks — a run ending at a chunk's first element lost its carry."""
+    pts, ks, want = setup_case(n, 900 + n)
+    got = jax.jit(pippenger.msm)(pts, ks)
+    check_equal(got, want)
+
+
+def test_segment_scan_two_level_vs_naive():
+    r = random.Random(17)
+    n, w = 64, 4
+    pts_ref = [ref.EdPoint.base() * r.randrange(1, ref.L) for _ in range(n)]
+    digs = sorted(r.randrange(1 << w) for _ in range(n))
+    want = [ref.EdPoint.identity() for _ in range(1 << w)]
+    for d, p in zip(digs, pts_ref):
+        want[d] = want[d] + p
+    dev_pts = E.stack([E.from_ref(p) for p in pts_ref])
+    got = jax.jit(
+        lambda p, d: pippenger._segment_scan_bucket_sums(p, d, w)
+    )(dev_pts, jnp.asarray(digs, jnp.int32))
+    for b in range(1 << w):
+        assert E.to_ref(jax.tree.map(lambda a: a[b], got)) == want[b], b
