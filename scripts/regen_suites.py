@@ -22,10 +22,16 @@ from otti_tpu import cli
 def main():
     suite = sys.argv[1] if len(sys.argv) > 1 else "lp"
     once = "--once" in sys.argv
+    # --fresh: prove everything in pass 1 too (no --resume skip), so
+    # singleton shape classes also record a WARM pass-2 capture; without
+    # it pass 1 skips already-verified instances and the first instance
+    # of each class in pass 2 captures cold (fine for crash recovery,
+    # wrong for regenerating the committed steady-state matrix)
+    fresh = "--fresh" in sys.argv
     flag = "--" + suite
     t0 = time.time()
-    print(f"[regen] pass 1 (cold, resumable): {flag} --full", flush=True)
-    rc = cli.main([flag, "--full", "--resume"])
+    print(f"[regen] pass 1 (cold{'' if fresh else ', resumable'}): {flag} --full", flush=True)
+    rc = cli.main([flag, "--full"] + ([] if fresh else ["--resume"]))
     t1 = time.time()
     print(f"[regen] pass 1 rc={rc} in {t1 - t0:.0f}s", flush=True)
     if once:
